@@ -1,4 +1,423 @@
-"""Placeholder — full facade lands with the end-to-end slice."""
+"""User-facing facade: MAGI_v2 with the reference's four-method API.
 
-class MAGI_v2:  # pragma: no cover
-    pass
+Mirrors the reference class (magi_v2.py:20-462) — construct ->
+``initial_fit`` -> ``predict`` -> results dict, plus
+``update_kernel_matrices`` for forecasting — with the same signatures and
+results-dict keys, so a user of the reference can switch directly. Internals
+are the TPU-native layers: batched kernel-matrix construction, lax.scan
+optimizers, and the vmapped annealed-NUTS sampler (multi-chain via
+``num_chains``; the reference is single-chain).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magi_v2_tpu.config import DEFAULT_CONFIG, MagiConfig
+from magi_v2_tpu.hparams import fit_kernel_hparams
+from magi_v2_tpu.init import (
+    fit_theta_fully_observed,
+    fit_unobserved_gradient_matching,
+)
+from magi_v2_tpu.ops.kernels import magi_kernel_matrices
+from magi_v2_tpu.ops.linalg import band_part, sym_pinv
+from magi_v2_tpu.posterior import (
+    make_posterior_data,
+    softplus_inverse,
+)
+from magi_v2_tpu import preprocess
+from magi_v2_tpu.sampler import SamplerConfig, run_nuts_chains
+from magi_v2_tpu.sampler.magi_state import (
+    flatten_state,
+    make_tempered_logp_grad,
+    unflatten_samples,
+)
+
+
+class MAGI_v2:
+    """MAnifold-constrained Gaussian process Inference, TPU-native.
+
+    Parameters mirror reference magi_v2.py:32-33:
+
+    - D_thetas: number of ODE parameters.
+    - ts_obs: (N,) observation timesteps.
+    - X_obs: (N, D) observations; NaN marks missing values (a column of all
+      NaN is a fully unobserved component).
+    - bandsize: half-bandwidth for band-matrix truncation of the precision
+      operators, or None for dense.
+    - f_vec: pure-JAX ODE field f(t (N,1), X (N,D), thetas) -> (N,D).
+    """
+
+    def __init__(
+        self,
+        D_thetas: int,
+        ts_obs: np.ndarray,
+        X_obs: np.ndarray,
+        bandsize: Union[int, None],
+        f_vec: Callable,
+        config: MagiConfig = DEFAULT_CONFIG,
+    ):
+        self.config = config
+        self.D_thetas = D_thetas
+        self.BANDSIZE = bandsize
+        self.f_vec = f_vec
+
+        self.ts_obs = np.asarray(ts_obs)
+        self.X_obs = np.asarray(X_obs, dtype=np.float64)
+        self.N, self.D = self.X_obs.shape
+
+        # observed / unobserved component bookkeeping (magi_v2.py:45-53)
+        self.observed_indicators = (~np.isnan(self.X_obs)).mean(axis=0) > 0
+        self.observed_components = np.arange(self.D)[self.observed_indicators]
+        self.D_observed = len(self.observed_components)
+        self.unobserved_components = np.setdiff1d(
+            np.arange(self.D), self.observed_components
+        )
+        self.D_unobserved = len(self.unobserved_components)
+        self.proper_order = np.argsort(
+            np.concatenate([self.observed_components, self.unobserved_components])
+        )
+        self.N_ds = (~np.isnan(self.X_obs)).sum(axis=0)
+
+        # placeholders filled by initial_fit (magi_v2.py:56-70)
+        self.I = None
+        self.X_obs_discret = None
+        self.beta = None
+        self.mag_I = None
+        self.obs_index = None
+        self.X_interp_obs = None
+        self.X_interp_unobs = None
+        self.phi1s = np.full((self.D,), np.nan)
+        self.phi2s = np.full((self.D,), np.nan)
+        self.sigma_sqs_init = np.full((self.D,), np.nan)
+        self.Xhat_init = None
+        self.thetas_init = None
+        self.mu_ds = np.full((self.D,), np.nan)
+        self.C_d_invs = None
+        self.m_ds = None
+        self.K_d_invs = None
+
+    # ------------------------------------------------------------------
+
+    def _build_inverse_matrices(self, phi1s, phi2s):
+        """Batched (C^{-1}, m, K^{-1}) for a set of components.
+
+        vmap over components -> one batched Bessel/Gram/pinv computation on
+        device (the reference loops per component on the host,
+        magi_v2.py:122-128).
+        """
+        I = jnp.asarray(self.I.reshape(-1))
+
+        def per_comp(phi1, phi2):
+            C, m, K = magi_kernel_matrices(I, phi1, phi2, self.config.matern_nu)
+            return sym_pinv(C), m, sym_pinv(K)
+
+        C_invs, m_ds, K_invs = jax.jit(jax.vmap(per_comp))(
+            jnp.asarray(phi1s), jnp.asarray(phi2s)
+        )
+        return np.asarray(C_invs), np.asarray(m_ds), np.asarray(K_invs)
+
+    def initial_fit(self, discretization: int, verbose: bool = False):
+        """Discretize, fit GP hyperparameters, initialize theta (and any
+        unobserved trajectories). Reference magi_v2.py:82-277."""
+        cfg = self.config
+        self.I, self.X_obs_discret = preprocess.discretize(
+            self.ts_obs, self.X_obs, discretization
+        )
+        self.mag_I = self.I.shape[0]
+        self.beta = (self.D * self.mag_I) / self.N_ds.sum()
+        self.obs_index = preprocess.build_observation_index(self.X_obs_discret)
+
+        # --- observed components: interpolate + fit hyperparameters
+        self.X_interp_obs = preprocess.linear_interpolate(
+            self.X_obs_discret[:, self.observed_indicators]
+        )
+        hparams_obs = fit_kernel_hparams(
+            self.I,
+            self.X_interp_obs,
+            nu=cfg.matern_nu,
+            learning_rate=cfg.hparam_learning_rate,
+            num_iters=cfg.hparam_num_iters,
+        )
+        self.phi1s[self.observed_indicators] = hparams_obs["phi1s"]
+        self.phi2s[self.observed_indicators] = hparams_obs["phi2s"]
+        self.sigma_sqs_init[self.observed_indicators] = hparams_obs["sigma_sqs"]
+        self.Xhat_init = self.X_obs_discret.copy()
+        self.Xhat_init[:, self.observed_indicators] = self.X_interp_obs
+        self.mu_ds[self.observed_indicators] = self.X_interp_obs.mean(axis=0)
+
+        self.C_d_invs = np.zeros((self.D, self.mag_I, self.mag_I))
+        self.m_ds = np.zeros((self.D, self.mag_I, self.mag_I))
+        self.K_d_invs = np.zeros((self.D, self.mag_I, self.mag_I))
+        C_invs, m_ds, K_invs = self._build_inverse_matrices(
+            hparams_obs["phi1s"], hparams_obs["phi2s"]
+        )
+        for i, d in enumerate(self.observed_components):
+            self.C_d_invs[d] = C_invs[i]
+            self.m_ds[d] = m_ds[i]
+            self.K_d_invs[d] = K_invs[i]
+
+        if np.all(self.observed_indicators):
+            # --- fully observed: theta-only init (magi_v2.py:133-179)
+            self.thetas_init, _ = fit_theta_fully_observed(
+                self.f_vec,
+                self.I,
+                self.Xhat_init,
+                self.mu_ds,
+                self.m_ds,
+                self.K_d_invs,
+                self.D_thetas,
+                learning_rate=cfg.init_learning_rate,
+                num_iters=cfg.init_num_iters,
+            )
+        else:
+            # --- partially observed: joint gradient matching
+            # (magi_v2.py:182-268), observed components fixed at their
+            # CV-smoothed values
+            X_smoothed_obs = preprocess.cv_cubic_smoother(
+                self.I,
+                self.X_interp_obs,
+                n_splits=cfg.spline_cv_folds,
+                obs_per_knot=cfg.spline_obs_per_knot,
+                min_points=cfg.spline_min_points,
+            )
+            self.X_interp_unobs, self.thetas_init, _ = (
+                fit_unobserved_gradient_matching(
+                    self.f_vec,
+                    self.I,
+                    X_smoothed_obs,
+                    self.proper_order,
+                    self.D_unobserved,
+                    self.D_thetas,
+                    learning_rate=cfg.init_learning_rate,
+                    num_iters=cfg.init_num_iters,
+                )
+            )
+            hparams_unobs = fit_kernel_hparams(
+                self.I,
+                self.X_interp_unobs,
+                nu=cfg.matern_nu,
+                learning_rate=cfg.hparam_learning_rate,
+                num_iters=cfg.hparam_num_iters,
+            )
+            self.phi1s[self.unobserved_components] = hparams_unobs["phi1s"]
+            self.phi2s[self.unobserved_components] = hparams_unobs["phi2s"]
+            self.sigma_sqs_init[self.unobserved_components] = hparams_unobs[
+                "sigma_sqs"
+            ]
+            self.Xhat_init[:, self.unobserved_components] = self.X_interp_unobs
+            self.mu_ds[self.unobserved_components] = self.X_interp_unobs.mean(
+                axis=0
+            )
+            C_invs, m_ds, K_invs = self._build_inverse_matrices(
+                hparams_unobs["phi1s"], hparams_unobs["phi2s"]
+            )
+            for i, d in enumerate(self.unobserved_components):
+                self.C_d_invs[d] = C_invs[i]
+                self.m_ds[d] = m_ds[i]
+                self.K_d_invs[d] = K_invs[i]
+
+        # band truncation (magi_v2.py:271-274) — statistical truncation;
+        # storage stays dense here, the Pallas banded path is the fast mode
+        if self.BANDSIZE is not None:
+            self.C_d_invs = np.asarray(
+                band_part(self.C_d_invs, self.BANDSIZE, self.BANDSIZE)
+            )
+            self.K_d_invs = np.asarray(
+                band_part(self.K_d_invs, self.BANDSIZE, self.BANDSIZE)
+            )
+            self.m_ds = np.asarray(
+                band_part(self.m_ds, self.BANDSIZE, self.BANDSIZE)
+            )
+
+        # smooth the initial trajectories (magi_v2.py:277)
+        self.Xhat_init = preprocess.cv_cubic_smoother(
+            self.I,
+            self.Xhat_init,
+            n_splits=cfg.spline_cv_folds,
+            obs_per_knot=cfg.spline_obs_per_knot,
+            min_points=cfg.spline_min_points,
+        )
+
+    # ------------------------------------------------------------------
+
+    def predict(
+        self,
+        num_results: int = 1000,
+        num_burnin_steps: int = 1000,
+        sigma_sqs_LB=None,
+        verbose: bool = False,
+        num_chains: int = 1,
+        seed: int = 0,
+        init_jitter: float = 0.0,
+        use_annealing: bool = True,
+        adapt_mass_matrix: Optional[bool] = None,
+    ):
+        """Sample the posterior with annealed NUTS. Reference
+        magi_v2.py:286-425; extensions: num_chains (vmapped chains),
+        init_jitter (per-chain X perturbation), seed.
+
+        Returns the reference's results dict; with num_chains > 1 the
+        ``*_samps`` arrays gain a chain axis at position 1.
+        """
+        cfg = self.config
+        assert not np.any(np.isnan(self.Xhat_init)), (
+            "Please make sure Xhat_init does not have NaNs."
+        )
+        assert not np.any(np.isnan(self.sigma_sqs_init)), (
+            "Please make sure sigma_sqs_init does not have NaNs."
+        )
+        assert not np.any(np.isnan(self.thetas_init)), (
+            "Please make sure thetas_init does not have NaNs."
+        )
+
+        if sigma_sqs_LB is None:
+            sigma_sqs_LB = (self.Xhat_init.std(axis=0) * cfg.sigma_sq_lb_scale) ** 2
+        sigma_sqs_LB = np.broadcast_to(np.asarray(sigma_sqs_LB, np.float64),
+                                       (self.D,))
+
+        dtype = cfg.dtype
+        data = make_posterior_data(
+            self.I,
+            self.C_d_invs,
+            self.m_ds,
+            self.K_d_invs,
+            self.mu_ds,
+            self.beta,
+            self.obs_index,
+            sigma_sqs_LB,
+            dtype,
+        )
+        logp_grad = make_tempered_logp_grad(
+            data, self.f_vec, self.mag_I, self.D, self.D_thetas
+        )
+
+        # initial state in unconstrained space (magi_v2.py:374-383):
+        # inverse-softplus where above the bound, else -5.0
+        def pre_init(vals, lower):
+            above = vals > lower
+            out = np.full_like(vals, -5.0)
+            out[above] = np.asarray(
+                softplus_inverse(jnp.asarray(vals[above] - lower[above]))
+            )
+            return out
+
+        sigma_pre0 = pre_init(self.sigma_sqs_init, sigma_sqs_LB)
+        theta_pre0 = pre_init(
+            self.thetas_init, np.zeros_like(self.thetas_init)
+        )
+        q0 = np.asarray(
+            flatten_state(
+                jnp.asarray(self.Xhat_init, dtype),
+                jnp.asarray(sigma_pre0, dtype),
+                jnp.asarray(theta_pre0, dtype),
+            )
+        )
+        q0 = np.broadcast_to(q0, (num_chains, q0.shape[0])).copy()
+        if init_jitter > 0.0 and num_chains > 1:
+            rng = np.random.default_rng(seed + 1)
+            q0[1:, : self.mag_I * self.D] += init_jitter * rng.standard_normal(
+                (num_chains - 1, self.mag_I * self.D)
+            )
+
+        sampler_config = SamplerConfig(
+            num_results=num_results,
+            num_burnin_steps=num_burnin_steps,
+            initial_step_size=cfg.initial_step_size,
+            target_accept=cfg.target_accept,
+            adaptation_fraction=cfg.adaptation_fraction,
+            max_tree_depth=cfg.max_tree_depth,
+            anneal_min_temp=cfg.anneal_min_temp,
+            use_annealing=use_annealing,
+            adapt_mass_matrix=(
+                cfg.adapt_mass_matrix
+                if adapt_mass_matrix is None
+                else adapt_mass_matrix
+            ),
+        )
+
+        if verbose:
+            print(
+                f"Starting NUTS posterior sampling "
+                f"({num_chains} chain(s), {num_burnin_steps}+{num_results} steps) ..."
+            )
+        start = time.time()
+        samples, stats = run_nuts_chains(
+            logp_grad,
+            jnp.asarray(q0, dtype),
+            jax.random.PRNGKey(seed),
+            sampler_config,
+        )
+        samples = jax.block_until_ready(samples)
+        minutes = np.round((time.time() - start) / 60, 2)
+        if verbose:
+            print(f"Finished sampling in {minutes} minutes.")
+
+        X_samps, sigma_pre_samps, theta_pre_samps = unflatten_samples(
+            samples, self.mag_I, self.D, self.D_thetas
+        )
+        squeeze = num_chains == 1
+
+        def maybe_squeeze(a):
+            a = np.asarray(a)
+            return a[:, 0] if squeeze else a
+
+        X_samps = maybe_squeeze(X_samps)
+        sigma_sqs_samps = np.log1p(np.exp(maybe_squeeze(sigma_pre_samps))) + sigma_sqs_LB
+        thetas_samps = np.log1p(np.exp(maybe_squeeze(theta_pre_samps)))
+
+        return {
+            "phi1s": self.phi1s,
+            "phi2s": self.phi2s,
+            "Xhat_init": self.Xhat_init,
+            "sigma_sqs_init": self.sigma_sqs_init,
+            "thetas_init": self.thetas_init,
+            "I": self.I,
+            "X_samps": X_samps,
+            "sigma_sqs_samps": sigma_sqs_samps,
+            "thetas_samps": thetas_samps,
+            "kernel_results": {
+                "step_size": np.asarray(stats.step_size),
+                "inv_mass": np.asarray(stats.inv_mass),
+                "accept_probs": np.asarray(stats.accept_probs),
+                "num_leapfrogs": np.asarray(stats.num_leapfrogs),
+                "divergences": np.asarray(stats.divergences),
+                "depths": np.asarray(stats.depths),
+            },
+            "sample_results": np.asarray(samples),
+            "minutes_elapsed": minutes,
+        }
+
+    # ------------------------------------------------------------------
+
+    def update_kernel_matrices(self, I_new, phi1s_new, phi2s_new):
+        """Rebuild C^{-1}/m/K^{-1} on an extended grid for forecasting
+        (reference magi_v2.py:433-462). NaN-pad future observations into
+        X_obs_discret separately; padding keeps the observation index valid
+        (magi_v2.py:428-431)."""
+        self.I = np.asarray(I_new).reshape(-1, 1)
+        self.phi1s = np.asarray(phi1s_new).copy()
+        self.phi2s = np.asarray(phi2s_new).copy()
+        self.mag_I = self.I.shape[0]
+        self.beta = (self.D * self.mag_I) / self.N_ds.sum()
+
+        C_invs, m_ds, K_invs = self._build_inverse_matrices(
+            self.phi1s, self.phi2s
+        )
+        self.C_d_invs, self.m_ds, self.K_d_invs = C_invs, m_ds, K_invs
+
+        if self.BANDSIZE is not None:
+            self.C_d_invs = np.asarray(
+                band_part(self.C_d_invs, self.BANDSIZE, self.BANDSIZE)
+            )
+            self.K_d_invs = np.asarray(
+                band_part(self.K_d_invs, self.BANDSIZE, self.BANDSIZE)
+            )
+            self.m_ds = np.asarray(
+                band_part(self.m_ds, self.BANDSIZE, self.BANDSIZE)
+            )

@@ -1,0 +1,132 @@
+"""Initialization of theta (and unobserved trajectories) before sampling.
+
+Two branches, mirroring the reference:
+
+- Fully observed systems (magi_v2.py:133-179): minimize the manifold-
+  constraint term t2 w.r.t. theta only, with X fixed at the interpolated
+  trajectories; ``m_ds @ X_cent`` precomputed once (magi_v2.py:139-142).
+- Partially observed systems (magi_v2.py:182-268): point-estimate
+  (X_unobs, theta) jointly by gradient matching — L2 between f(X_full, theta)
+  and 2nd-order central finite differences of X_full on the uniform grid
+  (magi_v2.py:210-216) — with observed components fixed at their CV-smoothed
+  values.
+
+Both run Adam(lr=0.01) for 10000 steps — inside one lax.scan (the reference
+pays 10000 Python->XLA dispatches, magi_v2.py:175-176,244-245).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def _adam_scan(loss_fn, params, learning_rate, num_iters):
+    opt = optax.adam(learning_rate, eps=1e-7)  # tf_keras Adam epsilon parity
+
+    @jax.jit
+    def run(params):
+        opt_state = opt.init(params)
+
+        def step(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, _), losses = jax.lax.scan(step, (params, opt_state), None,
+                                           length=num_iters)
+        return params, losses
+
+    return run(params)
+
+
+def fit_theta_fully_observed(
+    f_vec: Callable,
+    I,
+    Xhat_init,
+    mu_ds,
+    m_ds,
+    K_invs,
+    D_thetas: int,
+    learning_rate: float = 0.01,
+    num_iters: int = 10000,
+):
+    """theta MAP with X fixed (reference theta_objective, magi_v2.py:148-158).
+
+    Minimizes sum_d ||f_d(I, Xhat, theta) - m_d (x_d - mu_d)||^2_{K_d^{-1}}
+    starting from theta = ones (magi_v2.py:136).
+    """
+    I = jnp.asarray(np.asarray(I))
+    Xhat = jnp.asarray(np.asarray(Xhat_init))
+    dtype = Xhat.dtype
+    mu = jnp.asarray(np.asarray(mu_ds), dtype)
+    m_ds = jnp.asarray(np.asarray(m_ds), dtype)
+    K_invs = jnp.asarray(np.asarray(K_invs), dtype)
+
+    X_cent = (Xhat - mu[None, :]).T                       # (D, N)
+    m_prod = jnp.einsum("dnm,dm->dn", m_ds, X_cent)       # precomputed once
+
+    def loss(thetas):
+        f_vals = f_vec(I, Xhat, thetas).T                 # (D, N)
+        resid = f_vals - m_prod
+        return jnp.einsum("dn,dnm,dm->", resid, K_invs, resid)
+
+    theta0 = jnp.ones((D_thetas,), dtype)
+    thetas, losses = _adam_scan(loss, theta0, learning_rate, num_iters)
+    return np.asarray(thetas), np.asarray(losses)
+
+
+def fit_unobserved_gradient_matching(
+    f_vec: Callable,
+    I,
+    X_obs_smoothed,       # (N_I, D_observed) CV-smoothed observed components
+    proper_order,         # permutation restoring original component order
+    D_unobserved: int,
+    D_thetas: int,
+    seed: int = 0,
+    learning_rate: float = 0.01,
+    num_iters: int = 10000,
+):
+    """Joint (X_unobs, theta) gradient-matching init (magi_v2.py:199-245).
+
+    X_unobs is initialized from the observed components' moments
+    (magi_v2.py:219-226); the loss is the L2 gap between f(X_full, theta) and
+    central finite differences of X_full on the uniform grid.
+    """
+    I = jnp.asarray(np.asarray(I))
+    X_obs_s = jnp.asarray(np.asarray(X_obs_smoothed))
+    dtype = X_obs_s.dtype
+    order = jnp.asarray(np.asarray(proper_order), jnp.int32)
+    N_I = X_obs_s.shape[0]
+    dt = I[1, 0] - I[0, 0]
+
+    # init heuristics (magi_v2.py:219-226)
+    mu_init = float(np.asarray(X_obs_smoothed).mean())
+    sd_init = float(np.sqrt((np.asarray(X_obs_smoothed).std(axis=0) ** 2).mean()))
+    key = jax.random.PRNGKey(seed)
+    X_unobs0 = mu_init + sd_init * jax.random.normal(
+        key, (N_I, D_unobserved), dtype
+    )
+
+    def loss(params):
+        X_unobs, thetas = params["X_unobs"], params["thetas"]
+        X_full = jnp.take(
+            jnp.concatenate([X_obs_s, X_unobs], axis=1), order, axis=1
+        )
+        f_vals = f_vec(I, X_full, thetas)
+        f_diff = (X_full[2:, :] - X_full[:-2, :]) / (2.0 * dt)
+        return jnp.sum((f_vals[1:-1] - f_diff) ** 2)
+
+    params0 = {"X_unobs": X_unobs0, "thetas": jnp.ones((D_thetas,), dtype)}
+    params, losses = _adam_scan(loss, params0, learning_rate, num_iters)
+    return (
+        np.asarray(params["X_unobs"]),
+        np.asarray(params["thetas"]),
+        np.asarray(losses),
+    )

@@ -1,0 +1,147 @@
+"""The fused, tempered MAGI log-posterior — the hot function of the library.
+
+Implements the 4-term unnormalized log-posterior of reference
+magi_v2.py:308-348 (notation of SURVEY.md §0):
+
+    log p ∝ beta_temp * [ -1/2 ( (1/beta)(t1 + t2) + t3 + t4 )
+                          + logJac(sigma^2) + logJac(theta) ]
+
+    t1 = sum_d ||x_d(I) - mu_d||^2_{C_d^{-1}}          GP prior
+    t2 = sum_d ||f_d(I,X,theta) - m_d (x_d - mu_d)||^2_{K_d^{-1}}
+    t3 = sum_d N_d log(2 pi sigma_d^2)
+    t4 = sum_d ||x_d(tau_d) - y_d(tau_d)||^2 / sigma_d^2
+
+sigma^2 and theta are sampled in unconstrained space through softplus
+(+ lower bound sigma^2_LB for sigma^2) with change-of-variables Jacobians
+(magi_v2.py:318-323).
+
+TPU-first design: t1/t2 are batched (D, N, N) @ (D, N) contractions via
+einsum — XLA lowers these straight onto the MXU, fuses the elementwise
+epilogue, and the whole value+gradient is ONE jitted function (the
+reference pays a TF-op-graph walk per NUTS leapfrog; here each leapfrog is
+a single fused XLA computation). vmap over a leading chains axis gives the
+multi-chain sampler for free.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class PosteriorData(NamedTuple):
+    """Static (per-fit) arrays consumed by the log-posterior.
+
+    All fields are JAX arrays; the tuple is a pytree so it can be closed
+    over, donated, or sharded freely.
+    """
+
+    I: jax.Array            # (N_I, 1) discretization grid
+    C_invs: jax.Array       # (D, N_I, N_I) inverse Gram matrices
+    m_ds: jax.Array         # (D, N_I, N_I) conditioning matrices 'C C^{-1}
+    K_invs: jax.Array       # (D, N_I, N_I) inverse conditional deriv covs
+    mu_ds: jax.Array        # (D,) GP prior means
+    beta: jax.Array         # scalar prior temper D*N_I / sum(N_d)
+    N_ds: jax.Array         # (D,) per-component observation counts
+    not_nan_idxs: jax.Array  # (M,) flat indices of observed entries
+    not_nan_cols: jax.Array  # (M,) component id per observed entry
+    y_observed: jax.Array   # (M,) observed values
+    sigma_sqs_LB: jax.Array  # (D,) lower bound on sigma^2
+
+
+def make_posterior_data(
+    I, C_invs, m_ds, K_invs, mu_ds, beta, obs_index, sigma_sqs_LB, dtype
+) -> PosteriorData:
+    """Assemble PosteriorData from host arrays (obs_index: ObservationIndex)."""
+    asd = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
+    return PosteriorData(
+        I=asd(I),
+        C_invs=asd(C_invs),
+        m_ds=asd(m_ds),
+        K_invs=asd(K_invs),
+        mu_ds=asd(mu_ds),
+        beta=asd(beta),
+        N_ds=asd(obs_index.N_ds),
+        not_nan_idxs=jnp.asarray(obs_index.not_nan_idxs, dtype=jnp.int32),
+        not_nan_cols=jnp.asarray(obs_index.not_nan_cols, dtype=jnp.int32),
+        y_observed=asd(obs_index.y_observed),
+        sigma_sqs_LB=asd(sigma_sqs_LB),
+    )
+
+
+def softplus(x):
+    return jax.nn.softplus(x)
+
+
+def softplus_inverse(y):
+    """Inverse of softplus: log(exp(y) - 1), stable for small and large y.
+
+    Mirrors the reference's initial-state bijection (magi_v2.py:374-380).
+    """
+    y = jnp.asarray(y)
+    # log(e^y - 1) = y + log(1 - e^-y) = y + log(-expm1(-y))
+    return y + jnp.log(-jnp.expm1(-y))
+
+
+def log_posterior(
+    data: PosteriorData,
+    f_vec: Callable,
+    X: jax.Array,            # (N_I, D) latent trajectories
+    sigma_sqs_pre: jax.Array,  # (D,) unconstrained noise variances
+    thetas_pre: jax.Array,   # (D_thetas,) unconstrained ODE parameters
+    beta_temp: jax.Array,    # scalar annealing temperature
+) -> jax.Array:
+    """The fused tempered log-posterior (reference magi_v2.py:308-348)."""
+    # softplus bijections + change-of-variables log-Jacobians
+    # (log-Jacobian of softplus is log_sigmoid: d/dx log(1+e^x) = sigmoid(x))
+    sigma_sqs = softplus(sigma_sqs_pre) + data.sigma_sqs_LB
+    thetas = softplus(thetas_pre)
+    log_jac_sigma = jnp.sum(jax.nn.log_sigmoid(sigma_sqs_pre))
+    log_jac_theta = jnp.sum(jax.nn.log_sigmoid(thetas_pre))
+
+    beta_temp = jax.lax.stop_gradient(beta_temp)
+
+    # (D, N_I) centered trajectories
+    X_cent = (X - data.mu_ds[None, :]).T
+
+    # t1: GP prior quadratic forms — batched MXU matvecs
+    t1 = jnp.einsum("dn,dnm,dm->", X_cent, data.C_invs, X_cent)
+
+    # t2: manifold constraint
+    f_vals = f_vec(data.I, X, thetas).T                # (D, N_I)
+    resid = f_vals - jnp.einsum("dnm,dm->dn", data.m_ds, X_cent)
+    t2 = jnp.einsum("dn,dnm,dm->", resid, data.K_invs, resid)
+
+    # t3: noise normalizer
+    t3 = jnp.sum(data.N_ds * jnp.log(2.0 * jnp.pi * sigma_sqs))
+
+    # t4: observation likelihood on observed entries only (static gather)
+    X_obs = jnp.take(X.reshape(-1), data.not_nan_idxs)
+    inv_var = jnp.take(1.0 / sigma_sqs, data.not_nan_cols)
+    t4 = jnp.sum((X_obs - data.y_observed) ** 2 * inv_var)
+
+    return beta_temp * (
+        -0.5 * ((t1 + t2) / data.beta + t3 + t4) + log_jac_sigma + log_jac_theta
+    )
+
+
+def make_log_posterior(data: PosteriorData, f_vec: Callable):
+    """Close over the static data; returns lp(X, sigma_pre, theta_pre, beta_temp)."""
+
+    def lp(X, sigma_sqs_pre, thetas_pre, beta_temp):
+        return log_posterior(data, f_vec, X, sigma_sqs_pre, thetas_pre, beta_temp)
+
+    return lp
+
+
+def make_value_and_grad(data: PosteriorData, f_vec: Callable):
+    """Fused log-posterior + gradient w.r.t. (X, sigma_pre, theta_pre).
+
+    One XLA computation per call — this is the BASELINE.json north-star
+    metric ("fused log-posterior+grad evals/sec per chip").
+    """
+    lp = make_log_posterior(data, f_vec)
+    return jax.value_and_grad(lp, argnums=(0, 1, 2))

@@ -1,0 +1,239 @@
+"""Multi-chain annealed-NUTS driver: warmup (dual-averaging step size +
+pooled diagonal mass matrix) and sampling, each as one lax.scan in one jit.
+
+Replaces the reference's predict() sampling stack (magi_v2.py:360-396):
+tfp.mcmc.sample_chain + DualAveragingStepSizeAdaptation + the
+LogAnnealedNUTS wrapper. Key differences, all TPU-motivated:
+
+- The annealing step counter is part of the scan carry (traced), not a
+  Python-side tf.Variable — fixing the crash class recorded in the
+  reference's committed notebooks (SURVEY.md §4).
+- Chains are vmapped; the step size is shared across chains and adapted
+  from the pooled mean acceptance (with one chain this reduces to the
+  reference's setup; with many it is the standard cross-chain variant).
+- Mass-matrix warmup (off in the reference — identity mass) pools moments
+  across chains *and* steps in a Welford window, so 256 chains give a good
+  diagonal estimate quickly. Disable via adapt_mass_matrix=False for
+  closest reference parity.
+- Dual averaging follows Stan/TFP semantics: mu = log(10*eps0),
+  gamma=0.05, t0=10, kappa=0.75, target_accept=0.75 (magi_v2.py:364-366),
+  adapting for adaptation_fraction * num_burnin steps (magi_v2.py:365).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from magi_v2_tpu.sampler.nuts import NutsConfig, nuts_step
+
+
+def log_temperature_schedule(step, min_temp=0.1):
+    """beta_temp(step) = max(1/log(step+2), min_temp) — reference
+    logarithmic_temperature_schedule (magi_v2.py:833-835)."""
+    step = jnp.asarray(step, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    return jnp.maximum(1.0 / jnp.log(step + 2.0), min_temp)
+
+
+class SamplerConfig(NamedTuple):
+    num_results: int = 1000
+    num_burnin_steps: int = 1000
+    initial_step_size: float = 0.1     # magi_v2.py:364
+    target_accept: float = 0.75        # magi_v2.py:366
+    adaptation_fraction: float = 0.8   # magi_v2.py:365
+    max_tree_depth: int = 10
+    max_energy_diff: float = 1000.0
+    anneal_min_temp: float = 0.1       # magi_v2.py:841
+    use_annealing: bool = True
+    adapt_mass_matrix: bool = True
+    mass_window_begin: float = 0.1     # fraction of burnin
+    mass_window_end: float = 0.7
+
+
+class _DAState(NamedTuple):
+    log_step: jax.Array
+    log_step_avg: jax.Array
+    h_bar: jax.Array
+    mu: jax.Array
+    count: jax.Array
+
+
+def _da_init(step_size, dtype):
+    eps = jnp.asarray(step_size, dtype)
+    return _DAState(
+        log_step=jnp.log(eps),
+        log_step_avg=jnp.log(eps),
+        h_bar=jnp.asarray(0.0, dtype),
+        mu=jnp.log(10.0 * eps),
+        count=jnp.asarray(0.0, dtype),
+    )
+
+
+def _da_update(s: _DAState, accept_prob, target):
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+    m = s.count + 1.0
+    eta = 1.0 / (m + t0)
+    h_bar = (1.0 - eta) * s.h_bar + eta * (target - accept_prob)
+    log_step = s.mu - jnp.sqrt(m) / gamma * h_bar
+    w = m ** (-kappa)
+    log_step_avg = w * log_step + (1.0 - w) * s.log_step_avg
+    return _DAState(log_step, log_step_avg, h_bar, s.mu, m)
+
+
+class _Welford(NamedTuple):
+    count: jax.Array
+    mean: jax.Array
+    m2: jax.Array
+
+
+def _welford_init(dim, dtype):
+    return _Welford(
+        jnp.asarray(0.0, dtype), jnp.zeros(dim, dtype), jnp.zeros(dim, dtype)
+    )
+
+
+def _welford_add_batch(w: _Welford, xs):
+    """Merge a batch of samples xs (C, dim) via Chan's parallel update."""
+    cb = jnp.asarray(xs.shape[0], xs.dtype)
+    bmean = jnp.mean(xs, axis=0)
+    bm2 = jnp.sum((xs - bmean) ** 2, axis=0)
+    delta = bmean - w.mean
+    tot = w.count + cb
+    mean = w.mean + delta * cb / tot
+    m2 = w.m2 + bm2 + delta ** 2 * w.count * cb / tot
+    return _Welford(tot, mean, m2)
+
+
+def _welford_variance(w: _Welford):
+    """Regularized variance (Stan's shrinkage toward 1e-3)."""
+    var = w.m2 / jnp.maximum(w.count - 1.0, 1.0)
+    n = w.count
+    return (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0))
+
+
+class ChainStats(NamedTuple):
+    step_size: jax.Array          # final adapted step size (scalar)
+    inv_mass: jax.Array           # (dim,) final inverse mass diagonal
+    accept_probs: jax.Array       # (num_results, C)
+    num_leapfrogs: jax.Array      # (num_results, C)
+    divergences: jax.Array        # (num_results, C) bool
+    depths: jax.Array             # (num_results, C)
+
+
+def run_nuts_chains(
+    tempered_logp_grad: Callable,   # (q (dim,), beta_temp) -> (logp, grad)
+    q0: jax.Array,                  # (C, dim) initial chain states
+    key: jax.Array,
+    config: SamplerConfig = SamplerConfig(),
+):
+    """Run warmup + sampling for C chains; returns (samples, ChainStats).
+
+    samples has shape (num_results, C, dim). The whole procedure is one jit:
+    two lax.scans (warmup, sampling), vmapped NUTS inside.
+    """
+    C, dim = q0.shape
+    dtype = q0.dtype
+    cfg = NutsConfig(config.max_tree_depth, config.max_energy_diff)
+
+    num_adapt = int(config.adaptation_fraction * config.num_burnin_steps)
+    win_lo = int(config.mass_window_begin * config.num_burnin_steps)
+    win_hi = int(config.mass_window_end * config.num_burnin_steps)
+
+    def temp_at(step):
+        if not config.use_annealing:
+            return jnp.asarray(1.0, dtype)
+        return log_temperature_schedule(step, config.anneal_min_temp).astype(dtype)
+
+    def step_chains(keys, qs, eps, inv_mass, beta_temp):
+        lp = lambda q: tempered_logp_grad(q, beta_temp)
+        return jax.vmap(
+            lambda k, q: nuts_step(lp, k, q, eps, inv_mass, cfg)
+        )(keys, qs)
+
+    @jax.jit
+    def run(q0, key):
+        da0 = _da_init(config.initial_step_size, dtype)
+        welford0 = _welford_init(dim, dtype)
+        inv_mass0 = jnp.ones(dim, dtype)
+
+        def warmup_step(carry, step):
+            qs, key, da, welford, inv_mass = carry
+            key, *chain_keys = jax.random.split(key, C + 1)
+            eps = jnp.exp(
+                jnp.where(da.count < num_adapt, da.log_step, da.log_step_avg)
+            )
+            qs, infos = step_chains(
+                jnp.stack(chain_keys), qs, eps, inv_mass, temp_at(step)
+            )
+
+            da = jax.lax.cond(
+                step < num_adapt,
+                lambda d: _da_update(d, jnp.mean(infos.accept_prob),
+                                     config.target_accept),
+                lambda d: d,
+                da,
+            )
+
+            if config.adapt_mass_matrix and win_hi > win_lo:
+                welford = jax.lax.cond(
+                    (step >= win_lo) & (step < win_hi),
+                    lambda w: _welford_add_batch(w, qs),
+                    lambda w: w,
+                    welford,
+                )
+                # at window end: set mass from pooled variance, restart DA
+                # shrinkage target around the current step size (Stan-style)
+                def apply_mass(args):
+                    da, welford, inv_mass = args
+                    new_inv_mass = _welford_variance(welford)
+                    eps_now = jnp.exp(da.log_step)
+                    return (_da_init(eps_now, dtype)._replace(
+                        mu=jnp.log(10.0 * eps_now)
+                    ), welford, new_inv_mass)
+
+                da, welford, inv_mass = jax.lax.cond(
+                    step == win_hi,
+                    apply_mass,
+                    lambda args: args,
+                    (da, welford, inv_mass),
+                )
+
+            return (qs, key, da, welford, inv_mass), None
+
+        (qs, key, da, _, inv_mass), _ = jax.lax.scan(
+            warmup_step,
+            (q0, key, da0, welford0, inv_mass0),
+            jnp.arange(config.num_burnin_steps),
+        )
+
+        eps_final = jnp.exp(da.log_step_avg)
+
+        def sample_step(carry, step):
+            qs, key = carry
+            key, *chain_keys = jax.random.split(key, C + 1)
+            qs, infos = step_chains(
+                jnp.stack(chain_keys), qs, eps_final, inv_mass, temp_at(step)
+            )
+            return (qs, key), (qs, infos)
+
+        (_, _), (samples, infos) = jax.lax.scan(
+            sample_step,
+            (qs, key),
+            jnp.arange(
+                config.num_burnin_steps,
+                config.num_burnin_steps + config.num_results,
+            ),
+        )
+        stats = ChainStats(
+            step_size=eps_final,
+            inv_mass=inv_mass,
+            accept_probs=infos.accept_prob,
+            num_leapfrogs=infos.num_leapfrogs,
+            divergences=infos.diverging,
+            depths=infos.depth,
+        )
+        return samples, stats
+
+    return run(q0, key)

@@ -1,0 +1,117 @@
+"""Sampler statistics on exactly-known targets (SURVEY.md §4: validate
+HMC/NUTS on known Gaussians before wiring to MAGI)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magi_v2_tpu.sampler import SamplerConfig, run_nuts_chains
+from magi_v2_tpu.sampler.nuts import NutsConfig, nuts_step
+
+
+def _gaussian_logp_grad(cov_inv):
+    def lp(q, beta_temp):
+        val = -0.5 * q @ cov_inv @ q
+        return val, -cov_inv @ q
+
+    return lp
+
+
+def test_nuts_step_runs_and_moves():
+    dim = 4
+    lp = lambda q: (-0.5 * jnp.sum(q ** 2), -q)
+    q = jnp.zeros(dim) + 1.5
+    q_new, info = nuts_step(lp, jax.random.PRNGKey(0), q,
+                            jnp.asarray(0.5), jnp.ones(dim))
+    assert q_new.shape == (dim,)
+    assert np.isfinite(np.asarray(q_new)).all()
+    assert 0.0 <= float(info.accept_prob) <= 1.0
+    assert int(info.num_leapfrogs) >= 1
+    assert not np.asarray(q_new == q).all()
+
+
+def test_nuts_standard_normal_moments():
+    dim = 3
+    cov_inv = jnp.eye(dim)
+    cfg = SamplerConfig(
+        num_results=1500,
+        num_burnin_steps=500,
+        use_annealing=False,
+        max_tree_depth=6,
+    )
+    C = 8
+    q0 = jnp.zeros((C, dim)) + 2.0
+    samples, stats = run_nuts_chains(
+        _gaussian_logp_grad(cov_inv), q0, jax.random.PRNGKey(1), cfg
+    )
+    flat = np.asarray(samples).reshape(-1, dim)
+    assert np.abs(flat.mean(axis=0)).max() < 0.1
+    np.testing.assert_allclose(flat.var(axis=0), 1.0, atol=0.15)
+    assert not np.asarray(stats.divergences).any()
+    # step size adapted into a sane range for a standard normal
+    assert 0.05 < float(stats.step_size) < 5.0
+
+
+def test_nuts_correlated_gaussian_covariance():
+    cov = np.array([[1.0, 0.7], [0.7, 2.0]])
+    cov_inv = jnp.asarray(np.linalg.inv(cov))
+    cfg = SamplerConfig(
+        num_results=2500,
+        num_burnin_steps=800,
+        use_annealing=False,
+        max_tree_depth=6,
+    )
+    C = 8
+    q0 = jnp.zeros((C, 2))
+    samples, _ = run_nuts_chains(
+        _gaussian_logp_grad(cov_inv), q0, jax.random.PRNGKey(2), cfg
+    )
+    flat = np.asarray(samples).reshape(-1, 2)
+    emp = np.cov(flat.T)
+    np.testing.assert_allclose(emp, cov, atol=0.3)
+
+
+def test_mass_adaptation_learns_scales():
+    # badly scaled Gaussian: variances 1 and 100
+    cov_inv = jnp.diag(jnp.asarray([1.0, 0.01]))
+    cfg = SamplerConfig(
+        num_results=500,
+        num_burnin_steps=1000,
+        use_annealing=False,
+        adapt_mass_matrix=True,
+        max_tree_depth=8,
+    )
+    q0 = jnp.zeros((4, 2))
+    samples, stats = run_nuts_chains(
+        _gaussian_logp_grad(cov_inv), q0, jax.random.PRNGKey(3), cfg
+    )
+    inv_mass = np.asarray(stats.inv_mass)
+    # inverse mass should roughly match the target variances (1, 100)
+    assert inv_mass[1] / inv_mass[0] > 10.0
+    flat = np.asarray(samples).reshape(-1, 2)
+    np.testing.assert_allclose(flat.var(axis=0), [1.0, 100.0], rtol=0.35)
+
+
+def test_annealing_flattens_target():
+    """With annealing on, early-step temperature is 1/log(2) ≈ 1.44 and
+    decays below 1; sampling variance of a tempered N(0,1) at temp b is 1/b."""
+    from magi_v2_tpu.sampler.run import log_temperature_schedule
+
+    t0 = float(log_temperature_schedule(0))
+    np.testing.assert_allclose(t0, 1 / np.log(2), rtol=1e-12)
+    t_mid = float(log_temperature_schedule(1000))
+    np.testing.assert_allclose(t_mid, 1 / np.log(1002), rtol=1e-12)
+    assert float(log_temperature_schedule(10 ** 9)) == 0.1
+
+
+def test_chains_are_independent_and_reproducible():
+    dim = 2
+    lp = _gaussian_logp_grad(jnp.eye(dim))
+    cfg = SamplerConfig(num_results=50, num_burnin_steps=50,
+                        use_annealing=False, max_tree_depth=5)
+    q0 = jnp.zeros((3, dim))
+    s1, _ = run_nuts_chains(lp, q0, jax.random.PRNGKey(7), cfg)
+    s2, _ = run_nuts_chains(lp, q0, jax.random.PRNGKey(7), cfg)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    # different chains see different randomness
+    assert not np.allclose(np.asarray(s1)[:, 0], np.asarray(s1)[:, 1])
