@@ -1,0 +1,101 @@
+"""Benchmark: ESS/sec on the SEIR posterior with 256 vmapped NUTS chains.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric definition (BASELINE.json north star): pooled effective samples per
+second of wall-clock sampling (warmup included) for the worst theta
+component, 256 chains on one chip, SEIR vignette geometry (N=81 obs,
+discretization=1 -> N_I=161, full hyperparameter + theta initialization).
+
+vs_baseline: ratio to the reference-equivalent single-chain CPU run. The
+TFP reference itself crashes at HEAD (SURVEY.md §4) and publishes no
+numbers (BASELINE.md), so the baseline is our measured single-chain,
+annealed, identity-mass, float64 CPU configuration — algorithmically the
+reference's setup (same posterior, same NUTS/dual-averaging/anneal
+schedule, magi_v2.py:360-396) with its dispatch pathologies removed, i.e.
+an upper bound on the reference's throughput, making vs_baseline
+conservative. Recorded in BASELINE_MEASURED.json.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from magi_v2_tpu import MAGI_v2, MagiConfig
+    from magi_v2_tpu.models import seir_f_vec
+    from magi_v2_tpu.utils import summarize_chains
+    from magi_v2_tpu.utils.data import load_seir_csv, simulate_ode
+
+    try:
+        ts_obs, X_obs, _ = load_seir_csv(t_max=4.0, d_obs=20)
+    except (FileNotFoundError, OSError):
+        ts_obs, X_obs, _ = simulate_ode(
+            seir_f_vec,
+            x0=np.array([0.1, 0.05, 0.0]),
+            thetas=np.array([6.0, 0.6, 1.8]),
+            t_max=4.0,
+            n_obs=81,
+            noise_sd=0.005,
+        )
+
+    # float32 sampling dtype: the TPU fast path (f64 parity mode is tested
+    # in CI; the MXU has no native f64).
+    cfg = MagiConfig().replace(dtype=jnp.float32)
+    model = MAGI_v2(
+        D_thetas=3, ts_obs=ts_obs, X_obs=X_obs, bandsize=80,
+        f_vec=seir_f_vec, config=cfg,
+    )
+    model.initial_fit(discretization=1)
+
+    num_chains = 256
+    num_burnin, num_results = 500, 500
+    t0 = time.time()
+    res = model.predict(
+        num_results=num_results,
+        num_burnin_steps=num_burnin,
+        num_chains=num_chains,
+        seed=0,
+        init_jitter=0.01,
+    )
+    wall = time.time() - t0
+
+    # pooled theta ESS across chains: (T, C, 3)
+    theta_samps = res["thetas_samps"]
+    summary = summarize_chains(theta_samps, wall)
+    ess_per_sec = summary["ess_per_sec_min"]
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as fh:
+            baseline = json.load(fh)
+        ref = baseline.get("cpu_single_chain_ess_per_sec")
+        if ref:
+            vs_baseline = ess_per_sec / ref
+
+    print(json.dumps({
+        "metric": "SEIR theta ESS/sec (min component, 256 chains, pooled)",
+        "value": round(ess_per_sec, 3),
+        "unit": "ESS/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "detail": {
+            "ess_min": round(summary["ess_min"], 1),
+            "rhat_max": round(summary["rhat_max"], 4),
+            "wall_s": round(wall, 2),
+            "num_chains": num_chains,
+            "steps": f"{num_burnin}+{num_results}",
+            "divergence_rate": float(res["kernel_results"]["divergences"].mean()),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Hes1 oscillator with an unobserved component — exercises the
+gradient-matching joint initialization branch (magi_v2.py:182-268;
+BASELINE.json configs[2]).
+
+The classic MAGI Hes1 benchmark observes P and M but never H; the model is
+run on the log scale (hes1_log_f_vec)."""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    from magi_v2_tpu import MAGI_v2, MagiConfig
+    from magi_v2_tpu.models import MODEL_REGISTRY, hes1_log_f_vec
+    from magi_v2_tpu.utils.data import simulate_ode
+
+    true = np.array(MODEL_REGISTRY["hes1"].true_thetas)
+    # simulate on the natural scale, observe P and M with multiplicative noise
+    ts_obs, _, X_true = simulate_ode(
+        MODEL_REGISTRY["hes1"].f_vec,
+        x0=np.array([1.439, 2.037, 17.904]),
+        thetas=true,
+        t_max=240.0,
+        n_obs=33,
+        noise_sd=0.0,
+        substeps=200,
+    )
+    rng = np.random.default_rng(0)
+    X_obs_log = np.log(X_true) + 0.15 * rng.standard_normal(X_true.shape)
+    X_obs_log[:, 2] = np.nan  # H fully unobserved
+
+    cfg = MagiConfig()
+    if args.quick:
+        cfg = cfg.replace(hparam_num_iters=200, init_num_iters=2000)
+
+    model = MAGI_v2(
+        D_thetas=7, ts_obs=ts_obs, X_obs=X_obs_log, bandsize=None,
+        f_vec=hes1_log_f_vec, config=cfg,
+    )
+    t0 = time.time()
+    model.initial_fit(discretization=2, verbose=True)
+    print(f"initial_fit: {time.time()-t0:.1f}s")
+    print(f"theta_init: {model.thetas_init}")
+
+    steps = 200 if args.quick else 1000
+    res = model.predict(num_results=steps, num_burnin_steps=steps,
+                        verbose=True, seed=0)
+    mean = res["thetas_samps"].mean(axis=0)
+    print(f"theta posterior mean: {mean}")
+    print(f"true thetas:          {true}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Lorenz chaotic system on a dense discretization grid with many vmapped
+chains (BASELINE.json configs[4]: N_I > 1000, 256 chains)."""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--chains", type=int, default=256)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--f64", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from magi_v2_tpu import MAGI_v2, MagiConfig
+    from magi_v2_tpu.models import lorenz_f_vec
+    from magi_v2_tpu.utils import summarize_chains
+    from magi_v2_tpu.utils.data import simulate_ode
+
+    true = np.array([10.0, 28.0, 8.0 / 3.0])
+    n_obs = 33 if args.quick else 257
+    ts_obs, X_obs, _ = simulate_ode(
+        lorenz_f_vec,
+        x0=np.array([-8.0, 7.0, 27.0]),
+        thetas=true,
+        t_max=2.0,
+        n_obs=n_obs,
+        noise_sd=0.5,
+        substeps=50,
+    )
+
+    cfg = MagiConfig().replace(
+        dtype=jnp.float64 if args.f64 else jnp.float32,
+    )
+    if args.quick:
+        cfg = cfg.replace(hparam_num_iters=200, init_num_iters=1000)
+
+    disc = 2  # N_I = 4*(n_obs-1)+1 > 1000 at full size
+    model = MAGI_v2(
+        D_thetas=3, ts_obs=ts_obs, X_obs=X_obs, bandsize=100,
+        f_vec=lorenz_f_vec, config=cfg,
+    )
+    t0 = time.time()
+    model.initial_fit(discretization=disc, verbose=True)
+    print(f"initial_fit: {time.time()-t0:.1f}s  N_I={model.mag_I}  "
+          f"theta_init={model.thetas_init}")
+
+    steps = 100 if args.quick else 500
+    t0 = time.time()
+    res = model.predict(
+        num_results=steps, num_burnin_steps=steps,
+        num_chains=args.chains, verbose=True, seed=0, init_jitter=0.05,
+    )
+    wall = time.time() - t0
+    theta = res["thetas_samps"]
+    t3 = theta if args.chains > 1 else theta[:, None, :]
+    print(f"theta posterior mean: {t3.mean(axis=(0,1))}  true: {true}")
+    print("diagnostics:", summarize_chains(t3, wall))
+
+
+if __name__ == "__main__":
+    main()

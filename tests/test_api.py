@@ -1,0 +1,148 @@
+"""End-to-end API tests on tiny configurations (CI-fast; the full vignette
+golden run lives in tests/test_golden_seir.py, marked slow)."""
+
+import numpy as np
+import pytest
+
+from magi_v2_tpu import MAGI_v2, MagiConfig
+from magi_v2_tpu.models import seir_f_vec, fitzhugh_nagumo_f_vec
+from magi_v2_tpu.utils.data import simulate_ode
+
+TINY = MagiConfig().replace(hparam_num_iters=50, init_num_iters=100)
+
+
+@pytest.fixture(scope="module")
+def seir_data():
+    return simulate_ode(
+        seir_f_vec,
+        x0=np.array([0.1, 0.05, 0.0]),
+        thetas=np.array([6.0, 0.6, 1.8]),
+        t_max=2.0,
+        n_obs=21,
+        noise_sd=0.005,
+        substeps=20,
+    )
+
+
+@pytest.fixture(scope="module")
+def fitted_model(seir_data):
+    ts, X_obs, _ = seir_data
+    model = MAGI_v2(D_thetas=3, ts_obs=ts, X_obs=X_obs, bandsize=None,
+                    f_vec=seir_f_vec, config=TINY)
+    model.initial_fit(discretization=1)
+    return model
+
+
+def test_initial_fit_populates_state(fitted_model):
+    m = fitted_model
+    assert m.mag_I == 41
+    assert not np.any(np.isnan(m.phi1s))
+    assert not np.any(np.isnan(m.phi2s))
+    assert not np.any(np.isnan(m.sigma_sqs_init))
+    assert not np.any(np.isnan(m.Xhat_init))
+    assert m.thetas_init.shape == (3,)
+    assert m.C_d_invs.shape == (3, 41, 41)
+    # beta = D*N_I / sum(N_d)  (magi_v2.py:89)
+    np.testing.assert_allclose(m.beta, 3 * 41 / (21 * 3))
+
+
+def test_predict_results_dict_keys_match_reference(fitted_model):
+    res = fitted_model.predict(num_results=20, num_burnin_steps=20, seed=0)
+    # exact key parity with magi_v2.py:412-422
+    for key in ["phi1s", "phi2s", "Xhat_init", "sigma_sqs_init",
+                "thetas_init", "I", "X_samps", "sigma_sqs_samps",
+                "thetas_samps", "kernel_results", "sample_results",
+                "minutes_elapsed"]:
+        assert key in res, key
+    assert res["X_samps"].shape == (20, 41, 3)
+    assert res["thetas_samps"].shape == (20, 3)
+    assert res["sigma_sqs_samps"].shape == (20, 3)
+    assert np.all(res["thetas_samps"] > 0)       # softplus range
+    assert np.all(res["sigma_sqs_samps"] > 0)
+    assert np.all(np.isfinite(res["X_samps"]))
+
+
+def test_predict_multichain_shapes(fitted_model):
+    res = fitted_model.predict(num_results=10, num_burnin_steps=10,
+                               num_chains=4, seed=0, init_jitter=0.01)
+    assert res["X_samps"].shape == (10, 4, 41, 3)
+    assert res["thetas_samps"].shape == (10, 4, 3)
+
+
+def test_bandsize_truncates_matrices(seir_data):
+    ts, X_obs, _ = seir_data
+    model = MAGI_v2(D_thetas=3, ts_obs=ts, X_obs=X_obs, bandsize=5,
+                    f_vec=seir_f_vec, config=TINY)
+    model.initial_fit(discretization=0)
+    C = model.C_d_invs[0]
+    i, j = np.triu_indices_from(C, k=6)
+    np.testing.assert_allclose(C[i, j], 0.0)
+    assert np.any(np.abs(np.triu(C, 1) - np.triu(C, 5)) > 0)
+
+
+def test_update_kernel_matrices_forecast_path(fitted_model):
+    m = fitted_model
+    old_NI = m.mag_I
+    dt = m.I[1, 0] - m.I[0, 0]
+    I_new = np.arange(m.I[0, 0], m.I[-1, 0] + 5 * dt + dt / 2, dt)
+    m.update_kernel_matrices(I_new, m.phi1s, m.phi2s)
+    assert m.mag_I == old_NI + 5
+    assert m.C_d_invs.shape == (3, m.mag_I, m.mag_I)
+    np.testing.assert_allclose(m.beta, 3 * m.mag_I / m.N_ds.sum())
+    # restore for other tests (module-scoped fixture)
+    I_old = I_new[:old_NI]
+    m.update_kernel_matrices(I_old, m.phi1s, m.phi2s)
+
+
+def test_partially_observed_branch():
+    ts, X_obs, _ = simulate_ode(
+        fitzhugh_nagumo_f_vec,
+        x0=np.array([-1.0, 1.0]),
+        thetas=np.array([0.2, 0.2, 3.0]),
+        t_max=5.0,
+        n_obs=26,
+        noise_sd=0.05,
+        substeps=20,
+        comp_obs=(True, False),   # R unobserved
+    )
+    model = MAGI_v2(D_thetas=3, ts_obs=ts, X_obs=X_obs, bandsize=None,
+                    f_vec=fitzhugh_nagumo_f_vec, config=TINY)
+    model.initial_fit(discretization=0)
+    assert model.D_unobserved == 1
+    assert not np.any(np.isnan(model.Xhat_init))
+    assert not np.any(np.isnan(model.phi1s))
+    res = model.predict(num_results=10, num_burnin_steps=10, seed=0)
+    assert np.all(np.isfinite(res["X_samps"]))
+
+
+def test_predict_asserts_on_nan_init(seir_data):
+    ts, X_obs, _ = seir_data
+    model = MAGI_v2(D_thetas=3, ts_obs=ts, X_obs=X_obs, bandsize=None,
+                    f_vec=seir_f_vec, config=TINY)
+    with pytest.raises((AssertionError, TypeError)):
+        model.predict(num_results=2, num_burnin_steps=2)
+
+
+def test_checkpoint_roundtrip(fitted_model, tmp_path):
+    from magi_v2_tpu.utils.checkpoint import (
+        load_fit, load_results, save_fit, save_results,
+    )
+
+    p = str(tmp_path / "fit.npz")
+    save_fit(fitted_model, p)
+    model2 = load_fit(p, seir_f_vec, config=TINY)
+    np.testing.assert_allclose(model2.Xhat_init, fitted_model.Xhat_init)
+    np.testing.assert_allclose(model2.C_d_invs, fitted_model.C_d_invs)
+    np.testing.assert_allclose(model2.thetas_init, fitted_model.thetas_init)
+
+    r1 = fitted_model.predict(num_results=5, num_burnin_steps=5, seed=3)
+    r2 = model2.predict(num_results=5, num_burnin_steps=5, seed=3)
+    np.testing.assert_allclose(r1["X_samps"], r2["X_samps"])
+
+    rp = str(tmp_path / "res.npz")
+    save_results(r1, rp)
+    r1b = load_results(rp)
+    np.testing.assert_allclose(r1b["X_samps"], r1["X_samps"])
+    np.testing.assert_allclose(
+        r1b["kernel_results"]["step_size"], r1["kernel_results"]["step_size"]
+    )
