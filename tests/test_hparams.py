@@ -1,0 +1,60 @@
+"""GP hyperparameter MLE: recovery on synthetic GP data with known
+(phi1, phi2, sigma^2) — validates the marginal-likelihood objective
+independent of the reference (magi_v2.py:538-691)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magi_v2_tpu.hparams import fit_kernel_hparams, fourier_prior
+from magi_v2_tpu.ops.kernels import matern_gram
+
+
+@pytest.fixture(scope="module")
+def gp_draws():
+    """Two GP components with known hyperparameters + iid noise."""
+    rng = np.random.default_rng(0)
+    I = np.linspace(0.0, 4.0, 120)
+    true = {
+        "phi1": np.array([1.5, 0.8]),
+        "phi2": np.array([0.8, 0.5]),
+        "sigma_sq": np.array([0.01, 0.02]),
+    }
+    X = np.zeros((len(I), 2))
+    for d in range(2):
+        K = np.asarray(matern_gram(jnp.asarray(I), true["phi1"][d],
+                                   true["phi2"][d]))
+        L = np.linalg.cholesky(K + 1e-10 * np.eye(len(I)))
+        X[:, d] = L @ rng.standard_normal(len(I)) + rng.standard_normal(
+            len(I)
+        ) * np.sqrt(true["sigma_sq"][d])
+    return I, X, true
+
+
+def test_fourier_prior_shapes_and_sanity(gp_draws):
+    I, X, _ = gp_draws
+    prior = fourier_prior(X)
+    assert prior.mu_ds.shape == (2,)
+    np.testing.assert_allclose(prior.mu_ds, X.mean(axis=0))
+    assert np.all(prior.mu_phi2s > 0)
+    assert np.all(prior.mu_phi2s < 1)
+
+
+def test_mle_recovers_known_hyperparameters(gp_draws):
+    I, X, true = gp_draws
+    out = fit_kernel_hparams(I, X, num_iters=1500)
+    # single-draw MLE has sampling noise; require the right ballpark
+    np.testing.assert_allclose(out["phi2s"], true["phi2"], rtol=0.6)
+    np.testing.assert_allclose(out["sigma_sqs"], true["sigma_sq"], rtol=0.7)
+    assert np.all(out["phi1s"] > 0.05)
+    # loss decreased and is finite
+    assert np.isfinite(out["losses"]).all()
+    assert out["losses"][-1] < out["losses"][0]
+
+
+def test_single_component_branch(gp_draws):
+    I, X, _ = gp_draws
+    out = fit_kernel_hparams(I, X[:, :1], num_iters=100)
+    assert out["phi1s"].shape == (1,)
+    assert np.isfinite(out["losses"]).all()
