@@ -137,9 +137,19 @@ class MAGI_v2:
         self.X_interp_obs = preprocess.linear_interpolate(
             self.X_obs_discret[:, self.observed_indicators]
         )
+        if cfg.hparam_fit_points == "obs":
+            # fit on the raw observations at observation times (NaNs in
+            # partially observed columns interpolated at obs times only)
+            fit_I = self.ts_obs.reshape(-1, 1)
+            fit_X = preprocess.linear_interpolate(
+                self.X_obs[:, self.observed_indicators]
+            )
+        else:  # "grid": reference behavior (magi_v2.py:105-106)
+            fit_I = self.I
+            fit_X = self.X_interp_obs
         hparams_obs = fit_kernel_hparams(
-            self.I,
-            self.X_interp_obs,
+            fit_I,
+            fit_X,
             nu=cfg.matern_nu,
             learning_rate=cfg.hparam_learning_rate,
             num_iters=cfg.hparam_num_iters,
@@ -257,6 +267,7 @@ class MAGI_v2:
         init_jitter: float = 0.0,
         use_annealing: bool = True,
         adapt_mass_matrix: Optional[bool] = None,
+        storage: str = "dense",
     ):
         """Sample the posterior with annealed NUTS. Reference
         magi_v2.py:286-425; extensions: num_chains (vmapped chains),
@@ -264,6 +275,10 @@ class MAGI_v2:
 
         Returns the reference's results dict; with num_chains > 1 the
         ``*_samps`` arrays gain a chain axis at position 1.
+
+        storage: "dense" (batched MXU matvecs — fastest up to N_I ~ 2k) or
+        "banded" (O(N_I * bandsize) Pallas banded operators — the
+        memory/scaling mode for dense grids; requires bandsize).
         """
         cfg = self.config
         assert not np.any(np.isnan(self.Xhat_init)), (
@@ -293,6 +308,14 @@ class MAGI_v2:
             sigma_sqs_LB,
             dtype,
         )
+        if storage == "banded":
+            if self.BANDSIZE is None:
+                raise ValueError("storage='banded' requires a bandsize")
+            from magi_v2_tpu.posterior import to_banded_data
+
+            data = to_banded_data(data, self.BANDSIZE)
+        elif storage != "dense":
+            raise ValueError(f"unknown storage mode {storage!r}")
         logp_grad = make_tempered_logp_grad(
             data, self.f_vec, self.mag_I, self.D, self.D_thetas
         )

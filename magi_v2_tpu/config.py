@@ -33,6 +33,14 @@ class MagiConfig:
     # --- hyperparameter MLE (reference magi_v2.py:538-691) ---
     hparam_learning_rate: float = 0.01   # magi_v2.py:654
     hparam_num_iters: int = 1000         # magi_v2.py:654
+    # Where to evaluate the GP marginal likelihood: "obs" fits on the raw
+    # observations at observation times (statistically sound: recovers the
+    # true noise level); "grid" fits on linearly interpolated values over
+    # the full discretization grid like the reference (magi_v2.py:105-106)
+    # — which drives sigma^2 toward 0 (interpolated points are locally
+    # collinear, so the GP absorbs the noise) and biases phi2 low, which in
+    # turn biases theta. See DEVIATIONS.md item 14.
+    hparam_fit_points: str = "obs"
 
     # --- theta / X_unobs initialization (reference magi_v2.py:133-268) ---
     init_learning_rate: float = 0.01     # magi_v2.py:161,230

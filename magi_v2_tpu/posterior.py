@@ -72,6 +72,44 @@ def make_posterior_data(
     )
 
 
+class BandedPosteriorData(NamedTuple):
+    """PosteriorData variant with precision operators in banded storage
+    (D, 2b+1, N_I) — O(N_I*b) matvecs and memory instead of O(N_I^2)
+    (ops/banded.py; the reference's bandsize option keeps banded matrices
+    dense, magi_v2.py:271-274)."""
+
+    I: jax.Array
+    C_invs: jax.Array       # (D, 2b+1, N_I)
+    m_ds: jax.Array         # (D, 2b+1, N_I)
+    K_invs: jax.Array       # (D, 2b+1, N_I)
+    mu_ds: jax.Array
+    beta: jax.Array
+    N_ds: jax.Array
+    not_nan_idxs: jax.Array
+    not_nan_cols: jax.Array
+    y_observed: jax.Array
+    sigma_sqs_LB: jax.Array
+
+
+def to_banded_data(data: PosteriorData, bandwidth: int) -> BandedPosteriorData:
+    """Convert dense PosteriorData to banded storage with half-bandwidth b."""
+    from magi_v2_tpu.ops.banded import dense_to_banded
+
+    return BandedPosteriorData(
+        I=data.I,
+        C_invs=dense_to_banded(data.C_invs, bandwidth),
+        m_ds=dense_to_banded(data.m_ds, bandwidth),
+        K_invs=dense_to_banded(data.K_invs, bandwidth),
+        mu_ds=data.mu_ds,
+        beta=data.beta,
+        N_ds=data.N_ds,
+        not_nan_idxs=data.not_nan_idxs,
+        not_nan_cols=data.not_nan_cols,
+        y_observed=data.y_observed,
+        sigma_sqs_LB=data.sigma_sqs_LB,
+    )
+
+
 def softplus(x):
     return jax.nn.softplus(x)
 
@@ -107,13 +145,22 @@ def log_posterior(
     # (D, N_I) centered trajectories
     X_cent = (X - data.mu_ds[None, :]).T
 
-    # t1: GP prior quadratic forms — batched MXU matvecs
-    t1 = jnp.einsum("dn,dnm,dm->", X_cent, data.C_invs, X_cent)
+    if isinstance(data, BandedPosteriorData):
+        from magi_v2_tpu.ops.banded import banded_matvec
 
-    # t2: manifold constraint
-    f_vals = f_vec(data.I, X, thetas).T                # (D, N_I)
-    resid = f_vals - jnp.einsum("dnm,dm->dn", data.m_ds, X_cent)
-    t2 = jnp.einsum("dn,dnm,dm->", resid, data.K_invs, resid)
+        # O(N_I*b) banded path (Pallas kernel on TPU)
+        t1 = jnp.sum(X_cent * banded_matvec(data.C_invs, X_cent))
+        f_vals = f_vec(data.I, X, thetas).T            # (D, N_I)
+        resid = f_vals - banded_matvec(data.m_ds, X_cent)
+        t2 = jnp.sum(resid * banded_matvec(data.K_invs, resid))
+    else:
+        # t1: GP prior quadratic forms — batched MXU matvecs
+        t1 = jnp.einsum("dn,dnm,dm->", X_cent, data.C_invs, X_cent)
+
+        # t2: manifold constraint
+        f_vals = f_vec(data.I, X, thetas).T            # (D, N_I)
+        resid = f_vals - jnp.einsum("dnm,dm->dn", data.m_ds, X_cent)
+        t2 = jnp.einsum("dn,dnm,dm->", resid, data.K_invs, resid)
 
     # t3: noise normalizer
     t3 = jnp.sum(data.N_ds * jnp.log(2.0 * jnp.pi * sigma_sqs))
