@@ -268,6 +268,7 @@ class MAGI_v2:
         use_annealing: bool = True,
         adapt_mass_matrix: Optional[bool] = None,
         storage: str = "dense",
+        reparam: str = "whitened",
     ):
         """Sample the posterior with annealed NUTS. Reference
         magi_v2.py:286-425; extensions: num_chains (vmapped chains),
@@ -279,6 +280,12 @@ class MAGI_v2:
         storage: "dense" (batched MXU matvecs — fastest up to N_I ~ 2k) or
         "banded" (O(N_I * bandsize) Pallas banded operators — the
         memory/scaling mode for dense grids; requires bandsize).
+
+        reparam: "whitened" (default) samples z with X = mu + C^{1/2} z —
+        the identical posterior in well-conditioned coordinates (the GP
+        prior term becomes ||z||^2/beta), which removes the ~1e8 curvature
+        of the centered X-space and multiplies ESS; "centered" samples X
+        directly like the reference.
         """
         cfg = self.config
         assert not np.any(np.isnan(self.Xhat_init)), (
@@ -311,14 +318,35 @@ class MAGI_v2:
         if storage == "banded":
             if self.BANDSIZE is None:
                 raise ValueError("storage='banded' requires a bandsize")
+            if reparam == "whitened":
+                raise ValueError(
+                    "storage='banded' requires reparam='centered' "
+                    "(the GP sqrt factor is dense)"
+                )
             from magi_v2_tpu.posterior import to_banded_data
 
             data = to_banded_data(data, self.BANDSIZE)
         elif storage != "dense":
             raise ValueError(f"unknown storage mode {storage!r}")
-        logp_grad = make_tempered_logp_grad(
-            data, self.f_vec, self.mag_I, self.D, self.D_thetas
-        )
+
+        if reparam == "whitened":
+            from magi_v2_tpu.sampler.magi_state import (
+                gp_sqrt_factors,
+                make_tempered_logp_grad_whitened,
+                unwhiten_Z,
+                whiten_X,
+            )
+
+            L, L_inv = jax.jit(gp_sqrt_factors)(jnp.asarray(self.C_d_invs, dtype))
+            logp_grad = make_tempered_logp_grad_whitened(
+                data, self.f_vec, L, self.mag_I, self.D, self.D_thetas
+            )
+        elif reparam == "centered":
+            logp_grad = make_tempered_logp_grad(
+                data, self.f_vec, self.mag_I, self.D, self.D_thetas
+            )
+        else:
+            raise ValueError(f"unknown reparam mode {reparam!r}")
 
         # initial state in unconstrained space (magi_v2.py:374-383):
         # inverse-softplus where above the bound, else -5.0
@@ -334,9 +362,12 @@ class MAGI_v2:
         theta_pre0 = pre_init(
             self.thetas_init, np.zeros_like(self.thetas_init)
         )
+        X0 = jnp.asarray(self.Xhat_init, dtype)
+        if reparam == "whitened":
+            X0 = whiten_X(X0, data.mu_ds, L_inv)
         q0 = np.asarray(
             flatten_state(
-                jnp.asarray(self.Xhat_init, dtype),
+                X0,
                 jnp.asarray(sigma_pre0, dtype),
                 jnp.asarray(theta_pre0, dtype),
             )
@@ -384,6 +415,9 @@ class MAGI_v2:
         X_samps, sigma_pre_samps, theta_pre_samps = unflatten_samples(
             samples, self.mag_I, self.D, self.D_thetas
         )
+        if reparam == "whitened":
+            # map z samples back to trajectories: X = mu + L z
+            X_samps = jax.jit(lambda Z: unwhiten_Z(Z, data.mu_ds, L))(X_samps)
         squeeze = num_chains == 1
 
         def maybe_squeeze(a):
