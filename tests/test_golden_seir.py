@@ -1,0 +1,73 @@
+"""Golden acceptance test: the SEIR vignette configuration end-to-end.
+
+The reference's de-facto acceptance test (SURVEY.md §4): run SEIR on
+data/SEIR_seed=0.csv (d_obs=20, t_max=4 -> N=81, discretization=1 ->
+N_I=161, bandsize=80, 1000+1000 NUTS) and compare the recovered theta to
+the saved output of vignette.ipynb cell 11: beta 5.831, gamma 0.565,
+sigma 1.77 (true values 6.0, 0.6, 1.8).
+
+Marked slow: ~10 min on CPU. Run with `pytest -m slow` (deselected by
+default via pyproject addopts).
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+GOLDEN_THETA = np.array([5.831, 0.565, 1.77])
+TRUE_THETA = np.array([6.0, 0.6, 1.8])
+
+
+@pytest.fixture(scope="module")
+def seir_results():
+    from magi_v2_tpu import MAGI_v2
+    from magi_v2_tpu.models import seir_f_vec
+    from magi_v2_tpu.utils.data import load_seir_csv, simulate_ode
+
+    try:
+        ts_obs, X_obs, raw = load_seir_csv(t_max=4.0, d_obs=20)
+    except (FileNotFoundError, OSError):
+        ts_obs, X_obs, _ = simulate_ode(
+            seir_f_vec, x0=np.array([0.1, 0.05, 0.0]),
+            thetas=TRUE_THETA, t_max=4.0, n_obs=81, noise_sd=0.005,
+        )
+        raw = None
+    model = MAGI_v2(D_thetas=3, ts_obs=ts_obs, X_obs=X_obs, bandsize=80,
+                    f_vec=seir_f_vec)
+    model.initial_fit(discretization=1)
+    res = model.predict(num_results=1000, num_burnin_steps=1000, seed=0)
+    return model, res, raw, ts_obs, X_obs
+
+
+def test_theta_recovery_matches_golden(seir_results):
+    _, res, _, _, _ = seir_results
+    theta_mean = res["thetas_samps"].mean(axis=0)
+    # within 10% of the reference's published recovery (itself ~3% off truth)
+    np.testing.assert_allclose(theta_mean, GOLDEN_THETA, rtol=0.10)
+    # and within 10% of the true generating parameters
+    np.testing.assert_allclose(theta_mean, TRUE_THETA, rtol=0.10)
+
+
+def test_sigma_recovery(seir_results):
+    model, res, raw, ts_obs, X_obs = seir_results
+    if raw is None:
+        pytest.skip("reference CSV not available")
+    idx = np.searchsorted(raw["t"], ts_obs)
+    true_noise_var = ((X_obs - raw["X_true"][idx]) ** 2).mean(axis=0)
+    sig_mean = res["sigma_sqs_samps"].mean(axis=0)
+    # noise variance recovered within a factor of 3 (81 observations)
+    assert np.all(sig_mean < 3.5 * true_noise_var)
+    assert np.all(sig_mean > true_noise_var / 3.5)
+
+
+def test_trajectory_credible_interval_coverage(seir_results):
+    model, res, raw, _, _ = seir_results
+    if raw is None:
+        pytest.skip("reference CSV not available")
+    X = res["X_samps"]
+    lo, hi = np.quantile(X, [0.025, 0.975], axis=0)
+    idx = np.searchsorted(raw["t"], model.I.flatten())
+    truth = raw["X_true"][np.clip(idx, 0, len(raw["t"]) - 1)]
+    covered = ((truth >= lo) & (truth <= hi)).mean()
+    assert covered > 0.8, f"95% CI covers only {covered:.0%} of the truth"
