@@ -26,6 +26,12 @@ import numpy as np
 
 def main():
     import jax
+
+    # Setup (kernel matrices, pinv, hyperparameter MLE, theta init) MUST run
+    # in float64: the pinv spectral cutoff in float32 is ~1e9x coarser and
+    # corrupts the precision operators (measured: theta init diverges).
+    # Sampling itself runs float32 via MagiConfig.dtype (the TPU fast path).
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from magi_v2_tpu import MAGI_v2, MagiConfig
