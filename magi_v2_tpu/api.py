@@ -452,6 +452,43 @@ class MAGI_v2:
 
     # ------------------------------------------------------------------
 
+    def extend_for_forecast(self, t_max_new: float, results: dict = None):
+        """Extend the grid to ``t_max_new`` (same spacing) for forecasting.
+
+        NaN-pads the discretized observations (keeping the observation index
+        valid, magi_v2.py:428-431), warm-starts Xhat/theta/sigma from
+        ``results`` (a prior predict() output) when given, and refreshes the
+        kernel matrices. The reference documents this workflow but leaves
+        the observation-side update to the user (magi_v2.py:428-431); this
+        helper completes it. Call predict() afterwards.
+        """
+        dt = self.I[1, 0] - self.I[0, 0]
+        I_new = np.arange(self.I[0, 0], t_max_new + dt / 2, dt)
+        n_pad = len(I_new) - self.mag_I
+        if n_pad <= 0:
+            raise ValueError("t_max_new must extend beyond the current grid")
+
+        self.X_obs_discret = np.vstack(
+            [self.X_obs_discret, np.full((n_pad, self.D), np.nan)]
+        )
+        self.obs_index = preprocess.build_observation_index(self.X_obs_discret)
+
+        if results is not None:
+            X_mean = results["X_samps"]
+            X_mean = X_mean.mean(axis=tuple(range(X_mean.ndim - 2)))
+            self.thetas_init = results["thetas_samps"].reshape(
+                -1, self.D_thetas
+            ).mean(axis=0)
+            self.sigma_sqs_init = results["sigma_sqs_samps"].reshape(
+                -1, self.D
+            ).mean(axis=0)
+        else:
+            X_mean = self.Xhat_init
+        pad = np.repeat(X_mean[-1:, :], n_pad, axis=0)
+        self.Xhat_init = np.vstack([X_mean, pad])
+
+        self.update_kernel_matrices(I_new, self.phi1s, self.phi2s)
+
     def update_kernel_matrices(self, I_new, phi1s_new, phi2s_new):
         """Rebuild C^{-1}/m/K^{-1} on an extended grid for forecasting
         (reference magi_v2.py:433-462). NaN-pad future observations into

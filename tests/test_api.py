@@ -146,3 +146,20 @@ def test_checkpoint_roundtrip(fitted_model, tmp_path):
     np.testing.assert_allclose(
         r1b["kernel_results"]["step_size"], r1["kernel_results"]["step_size"]
     )
+
+
+def test_extend_for_forecast(seir_data):
+    ts, X_obs, _ = seir_data
+    model = MAGI_v2(D_thetas=3, ts_obs=ts, X_obs=X_obs, bandsize=None,
+                    f_vec=seir_f_vec, config=TINY)
+    model.initial_fit(discretization=0)
+    res = model.predict(num_results=10, num_burnin_steps=10, seed=0)
+    old_NI = model.mag_I
+    model.extend_for_forecast(3.0, results=res)
+    assert model.mag_I > old_NI
+    assert model.Xhat_init.shape == (model.mag_I, 3)
+    assert model.X_obs_discret.shape == (model.mag_I, 3)
+    assert np.all(np.isnan(model.X_obs_discret[old_NI:]))
+    res2 = model.predict(num_results=10, num_burnin_steps=10, seed=1)
+    assert res2["X_samps"].shape == (10, model.mag_I, 3)
+    assert np.all(np.isfinite(res2["X_samps"]))
