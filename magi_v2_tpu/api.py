@@ -104,6 +104,14 @@ class MAGI_v2:
 
     # ------------------------------------------------------------------
 
+    def _setup_device_ctx(self):
+        """Context placing setup computation on CPU (config.setup_on_cpu)."""
+        import contextlib
+
+        if self.config.setup_on_cpu and jax.default_backend() != "cpu":
+            return jax.default_device(jax.devices("cpu")[0])
+        return contextlib.nullcontext()
+
     def _build_inverse_matrices(self, phi1s, phi2s):
         """Batched (C^{-1}, m, K^{-1}) for a set of components.
 
@@ -124,7 +132,15 @@ class MAGI_v2:
 
     def initial_fit(self, discretization: int, verbose: bool = False):
         """Discretize, fit GP hyperparameters, initialize theta (and any
-        unobserved trajectories). Reference magi_v2.py:82-277."""
+        unobserved trajectories). Reference magi_v2.py:82-277.
+
+        Device work runs on CPU in float64 when config.setup_on_cpu (the
+        default) — see the config docstring for why.
+        """
+        with self._setup_device_ctx():
+            return self._initial_fit_impl(discretization, verbose)
+
+    def _initial_fit_impl(self, discretization: int, verbose: bool):
         cfg = self.config
         self.I, self.X_obs_discret = preprocess.discretize(
             self.ts_obs, self.X_obs, discretization
@@ -268,7 +284,7 @@ class MAGI_v2:
         use_annealing: bool = True,
         adapt_mass_matrix: Optional[bool] = None,
         storage: str = "dense",
-        reparam: str = "whitened",
+        reparam: str = "precond",
     ):
         """Sample the posterior with annealed NUTS. Reference
         magi_v2.py:286-425; extensions: num_chains (vmapped chains),
@@ -281,11 +297,13 @@ class MAGI_v2:
         "banded" (O(N_I * bandsize) Pallas banded operators — the
         memory/scaling mode for dense grids; requires bandsize).
 
-        reparam: "whitened" (default) samples z with X = mu + C^{1/2} z —
-        the identical posterior in well-conditioned coordinates (the GP
-        prior term becomes ||z||^2/beta), which removes the ~1e8 curvature
-        of the centered X-space and multiplies ESS; "centered" samples X
-        directly like the reference.
+        reparam: sampler coordinate system (the posterior over X is
+        IDENTICAL in all three — linear maps, constant Jacobian):
+        "precond" (default) whitens with the full Gaussian posterior
+        precision (C^{-1} + m'K^{-1}m)/beta + diag(obs)/sigma^2 — unit
+        curvature everywhere but f's nonlinearity; "whitened" whitens with
+        the GP prior C^{1/2} only; "centered" samples X directly like the
+        reference (measured stiffness ~1e8 -> step sizes ~1e-2).
         """
         cfg = self.config
         assert not np.any(np.isnan(self.Xhat_init)), (
@@ -318,10 +336,10 @@ class MAGI_v2:
         if storage == "banded":
             if self.BANDSIZE is None:
                 raise ValueError("storage='banded' requires a bandsize")
-            if reparam == "whitened":
+            if reparam != "centered":
                 raise ValueError(
                     "storage='banded' requires reparam='centered' "
-                    "(the GP sqrt factor is dense)"
+                    "(the whitening factors are dense)"
                 )
             from magi_v2_tpu.posterior import to_banded_data
 
@@ -329,15 +347,23 @@ class MAGI_v2:
         elif storage != "dense":
             raise ValueError(f"unknown storage mode {storage!r}")
 
-        if reparam == "whitened":
+        if reparam in ("whitened", "precond"):
             from magi_v2_tpu.sampler.magi_state import (
                 gp_sqrt_factors,
                 make_tempered_logp_grad_whitened,
+                posterior_precision_factors,
                 unwhiten_Z,
                 whiten_X,
             )
 
-            L, L_inv = jax.jit(gp_sqrt_factors)(jnp.asarray(self.C_d_invs, dtype))
+            if reparam == "precond":
+                L, L_inv = jax.jit(posterior_precision_factors)(
+                    data, jnp.asarray(self.sigma_sqs_init, dtype)
+                )
+            else:
+                L, L_inv = jax.jit(gp_sqrt_factors)(
+                    jnp.asarray(self.C_d_invs, dtype)
+                )
             logp_grad = make_tempered_logp_grad_whitened(
                 data, self.f_vec, L, self.mag_I, self.D, self.D_thetas
             )
@@ -363,7 +389,7 @@ class MAGI_v2:
             self.thetas_init, np.zeros_like(self.thetas_init)
         )
         X0 = jnp.asarray(self.Xhat_init, dtype)
-        if reparam == "whitened":
+        if reparam in ("whitened", "precond"):
             X0 = whiten_X(X0, data.mu_ds, L_inv)
         q0 = np.asarray(
             flatten_state(
@@ -415,7 +441,7 @@ class MAGI_v2:
         X_samps, sigma_pre_samps, theta_pre_samps = unflatten_samples(
             samples, self.mag_I, self.D, self.D_thetas
         )
-        if reparam == "whitened":
+        if reparam in ("whitened", "precond"):
             # map z samples back to trajectories: X = mu + L z
             X_samps = jax.jit(lambda Z: unwhiten_Z(Z, data.mu_ds, L))(X_samps)
         squeeze = num_chains == 1

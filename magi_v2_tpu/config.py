@@ -58,6 +58,15 @@ class MagiConfig:
     # is on by default; set False for closest reference parity.
     adapt_mass_matrix: bool = True
 
+    # Run initial_fit's device work (hyperparameter MLE, theta init, kernel
+    # matrices + pinv) on the host CPU backend. The setup is small but
+    # precision-critical: float32 pinv corrupts the precision operators and
+    # float64 emulation on TPU measured NaNs in the hyperparameter MLE;
+    # native CPU float64 is both correct and fast at these sizes. Sampling
+    # still runs on the default (TPU) backend in MagiConfig.dtype.
+    # Requires jax.config.update("jax_enable_x64", True) for f64.
+    setup_on_cpu: bool = True
+
     # --- numerics ---
     # Parity mode is float64 (the reference is float64 end to end,
     # magi_v2.py:89,136,226-227). float32 is the TPU-fast mode.
