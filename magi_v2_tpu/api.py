@@ -347,23 +347,38 @@ class MAGI_v2:
         elif storage != "dense":
             raise ValueError(f"unknown storage mode {storage!r}")
 
-        if reparam in ("whitened", "precond"):
+        if reparam == "precond":
+            # full-state Gauss-Newton whitening; factors built host-side in
+            # float64 (float32 eigh of the stiff precision is unreliable and
+            # measured a TPU kernel fault), then cast to the sampling dtype
+            from magi_v2_tpu.sampler.precond import (
+                build_gn_whitening,
+                make_tempered_logp_grad_gn,
+                unwhiten_Z_full,
+                whiten_X_full,
+            )
+
+            with self._setup_device_ctx():
+                L64, L_inv64 = build_gn_whitening(self, sigma_sqs_init=None)
+            L = jnp.asarray(np.asarray(L64), dtype)
+            L_inv = jnp.asarray(np.asarray(L_inv64), dtype)
+            logp_grad = make_tempered_logp_grad_gn(
+                data, self.f_vec, L, self.mag_I, self.D, self.D_thetas
+            )
+        elif reparam == "whitened":
             from magi_v2_tpu.sampler.magi_state import (
                 gp_sqrt_factors,
                 make_tempered_logp_grad_whitened,
-                posterior_precision_factors,
                 unwhiten_Z,
                 whiten_X,
             )
 
-            if reparam == "precond":
-                L, L_inv = jax.jit(posterior_precision_factors)(
-                    data, jnp.asarray(self.sigma_sqs_init, dtype)
+            with self._setup_device_ctx():
+                L64, L_inv64 = gp_sqrt_factors(
+                    jnp.asarray(self.C_d_invs)
                 )
-            else:
-                L, L_inv = jax.jit(gp_sqrt_factors)(
-                    jnp.asarray(self.C_d_invs, dtype)
-                )
+            L = jnp.asarray(np.asarray(L64), dtype)
+            L_inv = jnp.asarray(np.asarray(L_inv64), dtype)
             logp_grad = make_tempered_logp_grad_whitened(
                 data, self.f_vec, L, self.mag_I, self.D, self.D_thetas
             )
@@ -389,7 +404,9 @@ class MAGI_v2:
             self.thetas_init, np.zeros_like(self.thetas_init)
         )
         X0 = jnp.asarray(self.Xhat_init, dtype)
-        if reparam in ("whitened", "precond"):
+        if reparam == "precond":
+            X0 = whiten_X_full(X0, data.mu_ds, L_inv)
+        elif reparam == "whitened":
             X0 = whiten_X(X0, data.mu_ds, L_inv)
         q0 = np.asarray(
             flatten_state(
@@ -441,8 +458,12 @@ class MAGI_v2:
         X_samps, sigma_pre_samps, theta_pre_samps = unflatten_samples(
             samples, self.mag_I, self.D, self.D_thetas
         )
-        if reparam in ("whitened", "precond"):
+        if reparam == "precond":
             # map z samples back to trajectories: X = mu + L z
+            X_samps = jax.jit(
+                lambda Z: unwhiten_Z_full(Z, data.mu_ds, L)
+            )(X_samps)
+        elif reparam == "whitened":
             X_samps = jax.jit(lambda Z: unwhiten_Z(Z, data.mu_ds, L))(X_samps)
         squeeze = num_chains == 1
 
