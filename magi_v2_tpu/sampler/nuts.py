@@ -150,25 +150,21 @@ def _build_subtree(
             c["ckpt_p"],
         )
 
-        # U-turn checks against slots popcount(n)-t .. popcount(n)-1.
+        # U-turn checks against slots popcount(n)-t .. popcount(n)-1,
+        # vectorized over all checkpoint slots with a mask (cheaper to
+        # compile and execute than a fori_loop of dot products).
         # Orientation: in a backward subtree (eps < 0) the checkpoint leaf is
         # the temporally-LATER endpoint, so the displacement must be flipped
         # to trajectory-time order before the (asymmetric) criterion.
         t_ones = _trailing_ones(n)
         dir_sign = jnp.sign(eps_signed)
-
-        def check(j, turning):
-            slot = pc - 1 - j
-            active = j < t_ones
-            qm, pm = ckpt_q[slot], ckpt_p[slot]
-            dq = dir_sign * (leaf.q - qm)
-            turn_j = (jnp.dot(dq, pm * inv_mass) < 0.0) | (
-                jnp.dot(dq, leaf.p * inv_mass) < 0.0
-            )
-            return turning | (active & turn_j)
-
-        turning = jax.lax.fori_loop(0, cfg.max_tree_depth, check,
-                                    jnp.asarray(False))
+        dq = dir_sign * (leaf.q[None, :] - ckpt_q)        # (max_depth, dim)
+        v_cur = leaf.p * inv_mass
+        dots_ckpt = jnp.sum(dq * (ckpt_p * inv_mass[None, :]), axis=-1)
+        dots_cur = dq @ v_cur
+        slots = jnp.arange(cfg.max_tree_depth)
+        active = (slots >= pc - t_ones) & (slots <= pc - 1)
+        turning = jnp.any(active & ((dots_ckpt < 0.0) | (dots_cur < 0.0)))
 
         return dict(
             n=n + 1,
