@@ -436,6 +436,11 @@ class MAGI_v2:
                 if adapt_mass_matrix is None
                 else adapt_mass_matrix
             ),
+            progress_every=(
+                max(1, (num_burnin_steps + num_results) // 20)
+                if verbose
+                else 0
+            ),
         )
 
         if verbose:
@@ -472,8 +477,12 @@ class MAGI_v2:
             return a[:, 0] if squeeze else a
 
         X_samps = maybe_squeeze(X_samps)
-        sigma_sqs_samps = np.log1p(np.exp(maybe_squeeze(sigma_pre_samps))) + sigma_sqs_LB
-        thetas_samps = np.log1p(np.exp(maybe_squeeze(theta_pre_samps)))
+        def np_softplus(x):
+            # overflow-safe: softplus(x) = x + log1p(exp(-x)) for large x
+            return np.where(x > 30.0, x, np.log1p(np.exp(np.minimum(x, 30.0))))
+
+        sigma_sqs_samps = np_softplus(maybe_squeeze(sigma_pre_samps)) + sigma_sqs_LB
+        thetas_samps = np_softplus(maybe_squeeze(theta_pre_samps))
 
         return {
             "phi1s": self.phi1s,

@@ -50,6 +50,10 @@ class SamplerConfig(NamedTuple):
     adapt_mass_matrix: bool = True
     mass_window_begin: float = 0.1     # fraction of burnin
     mass_window_end: float = 0.7
+    # Host progress line every k steps via jax.debug.callback (0 = off) —
+    # the in-graph replacement for the reference's tqdm (unusable under
+    # XLA, magi_v2.py:285).
+    progress_every: int = 0
 
 
 class _DAState(NamedTuple):
@@ -152,6 +156,28 @@ def run_nuts_chains(
             lambda k, q: nuts_step(lp, k, q, eps, inv_mass, cfg)
         )(keys, qs)
 
+    def maybe_progress(phase, step, eps, infos):
+        if not config.progress_every:
+            return
+
+        def cb(step, eps, acc, depth, div):
+            print(
+                f"[sampler] {phase} step {int(step):>6} eps={float(eps):.5f} "
+                f"accept={float(acc):.3f} depth={float(depth):.1f} "
+                f"div={float(div):.4f}",
+                flush=True,
+            )
+
+        jax.lax.cond(
+            step % config.progress_every == 0,
+            lambda: jax.debug.callback(
+                cb, step, eps, jnp.mean(infos.accept_prob),
+                jnp.mean(infos.depth.astype(qsdtype := infos.accept_prob.dtype)),
+                jnp.mean(infos.diverging.astype(qsdtype)),
+            ),
+            lambda: None,
+        )
+
     @jax.jit
     def run(q0, key):
         da0 = _da_init(config.initial_step_size, dtype)
@@ -167,6 +193,7 @@ def run_nuts_chains(
             qs, infos = step_chains(
                 jnp.stack(chain_keys), qs, eps, inv_mass, temp_at(step)
             )
+            maybe_progress("warmup", step, eps, infos)
 
             da = jax.lax.cond(
                 step < num_adapt,
@@ -216,6 +243,7 @@ def run_nuts_chains(
             qs, infos = step_chains(
                 jnp.stack(chain_keys), qs, eps_final, inv_mass, temp_at(step)
             )
+            maybe_progress("sample", step, eps_final, infos)
             return (qs, key), (qs, infos)
 
         (_, _), (samples, infos) = jax.lax.scan(
