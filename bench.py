@@ -26,13 +26,13 @@ import numpy as np
 
 def main():
     import jax
-
-    # Setup (kernel matrices, pinv, hyperparameter MLE, theta init) MUST run
-    # in float64: the pinv spectral cutoff in float32 is ~1e9x coarser and
-    # corrupts the precision operators (measured: theta init diverges).
-    # Sampling itself runs float32 via MagiConfig.dtype (the TPU fast path).
-    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
+
+    # Precision policy: setup (kernel matrices, pinv, hyperparameter MLE,
+    # theta init) runs on CPU under a scoped jax.enable_x64 — handled
+    # inside the library (config.setup_on_cpu). Do NOT enable x64 globally
+    # here: incidental f64/int64 ops in the TPU sampling path measured
+    # hangs/kernel faults on the TPU backend.
 
     from magi_v2_tpu import MAGI_v2, MagiConfig
     from magi_v2_tpu.models import seir_f_vec

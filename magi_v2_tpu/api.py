@@ -105,12 +105,21 @@ class MAGI_v2:
     # ------------------------------------------------------------------
 
     def _setup_device_ctx(self):
-        """Context placing setup computation on CPU (config.setup_on_cpu)."""
+        """Context placing setup computation on CPU in float64.
+
+        Uses the scoped ``jax.enable_x64`` rather than the global config:
+        globally-enabled x64 leaks incidental float64/int64 ops into the TPU
+        sampling path, which measured hangs/kernel faults on the TPU
+        backend; the scope keeps setup f64 while sampling stays in
+        MagiConfig.dtype.
+        """
         import contextlib
 
+        stack = contextlib.ExitStack()
         if self.config.setup_on_cpu and jax.default_backend() != "cpu":
-            return jax.default_device(jax.devices("cpu")[0])
-        return contextlib.nullcontext()
+            stack.enter_context(jax.default_device(jax.devices("cpu")[0]))
+            stack.enter_context(jax.enable_x64(True))
+        return stack
 
     def _build_inverse_matrices(self, phi1s, phi2s):
         """Batched (C^{-1}, m, K^{-1}) for a set of components.
