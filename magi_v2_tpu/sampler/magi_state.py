@@ -99,44 +99,6 @@ def unwhiten_Z(Z, mu_ds, L):
     return Xc + mu_ds
 
 
-def posterior_precision_factors(data: PosteriorData, sigma_sqs_init):
-    """(L, L_inv) whitening w.r.t. the full Gaussian part of the X-posterior.
-
-    Prior-whitening (gp_sqrt_factors) fixes the t1 curvature but leaves the
-    manifold term stiff: in z = C^{-1/2}(x - mu) coordinates the t2 operator
-    is (m C^{1/2})' K^{-1} (m C^{1/2}), whose spectrum still spans ~1e5
-    (measured: NUTS trees max out at depth 10 with eps ~1e-3). The Gaussian
-    part of the posterior precision per component d is
-
-        Lambda_d = (C_d^{-1} + m_d' K_d^{-1} m_d) / beta
-                   + diag(observed_d) / sigma_d^2
-
-    (t2's quadratic-in-X part treats f as locally constant; t4 contributes
-    the observation diagonal). Whitening with L = Lambda^{-1/2} makes the
-    whole quadratic structure ~unit curvature; only f's nonlinearity
-    remains.
-    """
-    D = data.mu_ds.shape[0]
-    N = data.I.shape[0]
-    # per-component observation mask on the grid from the flat index
-    obs_rows = data.not_nan_idxs // D
-    obs_cols = data.not_nan_cols
-    mask = jnp.zeros((D, N), data.C_invs.dtype)
-    mask = mask.at[obs_cols, obs_rows].add(1.0)
-
-    quad = data.C_invs + jnp.einsum(
-        "dmn,dmk,dkl->dnl", data.m_ds, data.K_invs, data.m_ds
-    )
-    lam = quad / data.beta + jax.vmap(jnp.diag)(
-        mask / jnp.asarray(sigma_sqs_init, data.C_invs.dtype)[:, None]
-    )
-    w, V = jnp.linalg.eigh((lam + jnp.swapaxes(lam, -1, -2)) / 2.0)
-    w = jnp.maximum(w, 1e-12 * jnp.max(w, axis=-1, keepdims=True))
-    L = (V * (w ** -0.5)[..., None, :]) @ jnp.swapaxes(V, -1, -2)
-    L_inv = (V * (w ** 0.5)[..., None, :]) @ jnp.swapaxes(V, -1, -2)
-    return L, L_inv
-
-
 def make_tempered_logp_grad_whitened(
     data: PosteriorData,
     f_vec: Callable,

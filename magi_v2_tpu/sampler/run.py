@@ -56,6 +56,26 @@ class SamplerConfig(NamedTuple):
     progress_every: int = 0
 
 
+_CALLBACKS_SUPPORTED: bool | None = None
+
+
+def _callbacks_supported() -> bool:
+    """Some TPU runtimes (axon PJRT) lack host send/recv callbacks; probe
+    once and silently disable progress reporting there."""
+    global _CALLBACKS_SUPPORTED
+    if _CALLBACKS_SUPPORTED is None:
+        try:
+            jax.block_until_ready(
+                jax.jit(
+                    lambda x: (jax.debug.callback(lambda _: None, x), x)[1]
+                )(jnp.zeros(()))
+            )
+            _CALLBACKS_SUPPORTED = True
+        except Exception:
+            _CALLBACKS_SUPPORTED = False
+    return _CALLBACKS_SUPPORTED
+
+
 class _DAState(NamedTuple):
     log_step: jax.Array
     log_step_avg: jax.Array
@@ -156,8 +176,12 @@ def run_nuts_chains(
             lambda k, q: nuts_step(lp, k, q, eps, inv_mass, cfg)
         )(keys, qs)
 
+    progress_every = config.progress_every
+    if progress_every and not _callbacks_supported():
+        progress_every = 0
+
     def maybe_progress(phase, step, eps, infos):
-        if not config.progress_every:
+        if not progress_every:
             return
 
         def cb(step, eps, acc, depth, div):
@@ -169,7 +193,7 @@ def run_nuts_chains(
             )
 
         jax.lax.cond(
-            step % config.progress_every == 0,
+            step % progress_every == 0,
             lambda: jax.debug.callback(
                 cb, step, eps, jnp.mean(infos.accept_prob),
                 jnp.mean(infos.depth.astype(qsdtype := infos.accept_prob.dtype)),
