@@ -129,3 +129,31 @@ def test_softplus_inverse_roundtrip():
     x = softplus_inverse(y)
     np.testing.assert_allclose(np.asarray(jax.nn.softplus(x)), np.asarray(y),
                                rtol=1e-9)
+
+
+def test_posterior_invariant_to_obs_index_permutation():
+    """SURVEY.md §4 property: permuting the order of the observed-entry
+    index lists must not change the posterior (t4 is a sum)."""
+    I, X_obs, obs_index, C_invs, m_ds, K_invs, mu_ds, beta, sigma_LB = _fixture(11)
+    N, D = X_obs.shape
+    rng = np.random.default_rng(12)
+    perm = rng.permutation(len(obs_index.not_nan_idxs))
+    from magi_v2_tpu.preprocess import ObservationIndex
+
+    obs_perm = ObservationIndex(
+        not_nan_idxs=obs_index.not_nan_idxs[perm],
+        not_nan_cols=obs_index.not_nan_cols[perm],
+        y_observed=obs_index.y_observed[perm],
+        N_ds=obs_index.N_ds,
+    )
+    d1 = make_posterior_data(I, C_invs, m_ds, K_invs, mu_ds, beta,
+                             obs_index, sigma_LB, jnp.float64)
+    d2 = make_posterior_data(I, C_invs, m_ds, K_invs, mu_ds, beta,
+                             obs_perm, sigma_LB, jnp.float64)
+    lp1 = make_log_posterior(d1, seir_f_vec)
+    lp2 = make_log_posterior(d2, seir_f_vec)
+    X = jnp.asarray(rng.normal(size=(N, D)))
+    s, t = jnp.asarray(rng.normal(size=D)), jnp.asarray(rng.normal(size=3))
+    np.testing.assert_allclose(
+        float(lp1(X, s, t, 1.0)), float(lp2(X, s, t, 1.0)), rtol=1e-12
+    )
