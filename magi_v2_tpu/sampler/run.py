@@ -60,19 +60,18 @@ _CALLBACKS_SUPPORTED: bool | None = None
 
 
 def _callbacks_supported() -> bool:
-    """Some TPU runtimes (axon PJRT) lack host send/recv callbacks; probe
-    once and silently disable progress reporting there."""
+    """Some TPU runtimes (axon PJRT) lack host send/recv callbacks.
+
+    Detect statically from the client platform version — executing a probe
+    program is NOT safe: a failed host-callback dispatch can leave the
+    device faulted (subsequent programs fail UNAVAILABLE)."""
     global _CALLBACKS_SUPPORTED
     if _CALLBACKS_SUPPORTED is None:
         try:
-            jax.block_until_ready(
-                jax.jit(
-                    lambda x: (jax.debug.callback(lambda _: None, x), x)[1]
-                )(jnp.zeros(()))
-            )
-            _CALLBACKS_SUPPORTED = True
+            version = jax.devices()[0].client.platform_version
         except Exception:
-            _CALLBACKS_SUPPORTED = False
+            version = ""
+        _CALLBACKS_SUPPORTED = "axon" not in version.lower()
     return _CALLBACKS_SUPPORTED
 
 
