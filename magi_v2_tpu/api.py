@@ -294,6 +294,7 @@ class MAGI_v2:
         adapt_mass_matrix: Optional[bool] = None,
         storage: str = "dense",
         reparam: str = "precond",
+        thin: int = 1,
     ):
         """Sample the posterior with annealed NUTS. Reference
         magi_v2.py:286-425; extensions: num_chains (vmapped chains),
@@ -450,6 +451,7 @@ class MAGI_v2:
                 if verbose
                 else 0
             ),
+            thin=thin,
         )
 
         if verbose:

@@ -54,6 +54,10 @@ class SamplerConfig(NamedTuple):
     # the in-graph replacement for the reference's tqdm (unusable under
     # XLA, magi_v2.py:285).
     progress_every: int = 0
+    # Keep every thin-th draw: num_results draws are RETURNED, each
+    # separated by thin transitions (num_results * thin total post-warmup
+    # transitions; only the stored draws' stats are returned).
+    thin: int = 1
 
 
 _CALLBACKS_SUPPORTED: bool | None = None
@@ -260,23 +264,41 @@ def run_nuts_chains(
 
         eps_final = jnp.exp(da.log_step_avg)
 
-        def sample_step(carry, step):
+        def one_transition(carry, step):
             qs, key = carry
             key, *chain_keys = jax.random.split(key, C + 1)
             qs, infos = step_chains(
                 jnp.stack(chain_keys), qs, eps_final, inv_mass, temp_at(step)
             )
             maybe_progress("sample", step, eps_final, infos)
-            return (qs, key), (qs, infos)
+            return (qs, key), infos
 
-        (_, _), (samples, infos) = jax.lax.scan(
-            sample_step,
-            (qs, key),
-            jnp.arange(
-                config.num_burnin_steps,
-                config.num_burnin_steps + config.num_results,
-            ),
-        )
+        if config.thin == 1:
+            def sample_step(carry, step):
+                carry, infos = one_transition(carry, step)
+                return carry, (carry[0], infos)
+
+            (_, _), (samples, infos) = jax.lax.scan(
+                sample_step,
+                (qs, key),
+                jnp.arange(
+                    config.num_burnin_steps,
+                    config.num_burnin_steps + config.num_results,
+                ),
+            )
+        else:
+            # nested scan: only every thin-th draw is materialized
+            def sample_block(carry, block_idx):
+                base = config.num_burnin_steps + block_idx * config.thin
+                carry, infos = jax.lax.scan(
+                    one_transition, carry, base + jnp.arange(config.thin)
+                )
+                last = jax.tree.map(lambda a: a[-1], infos)
+                return carry, (carry[0], last)
+
+            (_, _), (samples, infos) = jax.lax.scan(
+                sample_block, (qs, key), jnp.arange(config.num_results)
+            )
         stats = ChainStats(
             step_size=eps_final,
             inv_mass=inv_mass,

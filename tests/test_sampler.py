@@ -115,3 +115,20 @@ def test_chains_are_independent_and_reproducible():
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     # different chains see different randomness
     assert not np.allclose(np.asarray(s1)[:, 0], np.asarray(s1)[:, 1])
+
+
+def test_thinning_matches_unthinned_endpoints():
+    """thin=k with T draws visits the same chain as k*T unthinned draws,
+    keeping every k-th state."""
+    dim = 2
+    lp = _gaussian_logp_grad(jnp.eye(dim))
+    q0 = jnp.zeros((2, dim))
+    key = jax.random.PRNGKey(5)
+    cfg_full = SamplerConfig(num_results=12, num_burnin_steps=10,
+                             use_annealing=False, max_tree_depth=4)
+    cfg_thin = cfg_full._replace(num_results=4, thin=3)
+    s_full, _ = run_nuts_chains(lp, q0, key, cfg_full)
+    s_thin, _ = run_nuts_chains(lp, q0, key, cfg_thin)
+    np.testing.assert_allclose(
+        np.asarray(s_thin), np.asarray(s_full)[2::3], atol=1e-12
+    )
