@@ -116,9 +116,15 @@ class MAGI_v2:
         import contextlib
 
         stack = contextlib.ExitStack()
-        if self.config.setup_on_cpu and jax.default_backend() != "cpu":
-            stack.enter_context(jax.default_device(jax.devices("cpu")[0]))
-            stack.enter_context(jax.enable_x64(True))
+        if self.config.setup_on_cpu:
+            if jax.default_backend() != "cpu":
+                stack.enter_context(
+                    jax.default_device(jax.devices("cpu")[0])
+                )
+            # f64 regardless of backend: float32 setup corrupts the pinv'd
+            # precision operators even on CPU (measured: theta init diverges)
+            if not jax.config.jax_enable_x64:
+                stack.enter_context(jax.enable_x64(True))
         return stack
 
     def _build_inverse_matrices(self, phi1s, phi2s):

@@ -58,6 +58,13 @@ class SamplerConfig(NamedTuple):
     # separated by thin transitions (num_results * thin total post-warmup
     # transitions; only the stored draws' stats are returned).
     thin: int = 1
+    # Split the run into multiple device dispatches of at most this many
+    # steps (0 = single dispatch). Long single executions are killed by
+    # some TPU runtimes (the axon tunnel faults multi-minute dispatches
+    # with UNAVAILABLE), and blocking also streams samples to host,
+    # bounding device memory. State is carried across blocks, so results
+    # are bit-identical to the single-dispatch path.
+    dispatch_block_steps: int = 0
 
 
 _CALLBACKS_SUPPORTED: bool | None = None
@@ -205,108 +212,120 @@ def run_nuts_chains(
             lambda: None,
         )
 
+    def warmup_step(carry, step):
+        qs, key, da, welford, inv_mass = carry
+        key, *chain_keys = jax.random.split(key, C + 1)
+        eps = jnp.exp(
+            jnp.where(da.count < num_adapt, da.log_step, da.log_step_avg)
+        )
+        qs, infos = step_chains(
+            jnp.stack(chain_keys), qs, eps, inv_mass, temp_at(step)
+        )
+        maybe_progress("warmup", step, eps, infos)
+
+        da = jax.lax.cond(
+            step < num_adapt,
+            lambda d: _da_update(d, jnp.mean(infos.accept_prob),
+                                 config.target_accept),
+            lambda d: d,
+            da,
+        )
+
+        if config.adapt_mass_matrix and win_hi > win_lo:
+            welford = jax.lax.cond(
+                (step >= win_lo) & (step < win_hi),
+                lambda w: _welford_add_batch(w, qs),
+                lambda w: w,
+                welford,
+            )
+            # at window end: set mass from pooled variance, restart DA
+            # shrinkage target around the current step size (Stan-style)
+            def apply_mass(args):
+                da, welford, inv_mass = args
+                new_inv_mass = _welford_variance(welford)
+                eps_now = jnp.exp(da.log_step)
+                return (_da_init(eps_now, dtype)._replace(
+                    mu=jnp.log(10.0 * eps_now)
+                ), welford, new_inv_mass)
+
+            da, welford, inv_mass = jax.lax.cond(
+                step == win_hi,
+                apply_mass,
+                lambda args: args,
+                (da, welford, inv_mass),
+            )
+
+        return (qs, key, da, welford, inv_mass), None
+
     @jax.jit
-    def run(q0, key):
-        da0 = _da_init(config.initial_step_size, dtype)
-        welford0 = _welford_init(dim, dtype)
-        inv_mass0 = jnp.ones(dim, dtype)
+    def warmup_blk(carry, steps):
+        return jax.lax.scan(warmup_step, carry, steps)[0]
 
-        def warmup_step(carry, step):
-            qs, key, da, welford, inv_mass = carry
-            key, *chain_keys = jax.random.split(key, C + 1)
-            eps = jnp.exp(
-                jnp.where(da.count < num_adapt, da.log_step, da.log_step_avg)
+    def one_transition(carry, step):
+        qs, key, eps_final, inv_mass = carry
+        key, *chain_keys = jax.random.split(key, C + 1)
+        qs, infos = step_chains(
+            jnp.stack(chain_keys), qs, eps_final, inv_mass, temp_at(step)
+        )
+        maybe_progress("sample", step, eps_final, infos)
+        return (qs, key, eps_final, inv_mass), infos
+
+    if config.thin == 1:
+        def draw_step(carry, draw_idx):
+            step = config.num_burnin_steps + draw_idx
+            carry, infos = one_transition(carry, step)
+            return carry, (carry[0], infos)
+    else:
+        def draw_step(carry, draw_idx):
+            base = config.num_burnin_steps + draw_idx * config.thin
+            carry, infos = jax.lax.scan(
+                one_transition, carry, base + jnp.arange(config.thin)
             )
-            qs, infos = step_chains(
-                jnp.stack(chain_keys), qs, eps, inv_mass, temp_at(step)
-            )
-            maybe_progress("warmup", step, eps, infos)
+            last = jax.tree.map(lambda a: a[-1], infos)
+            return carry, (carry[0], last)
 
-            da = jax.lax.cond(
-                step < num_adapt,
-                lambda d: _da_update(d, jnp.mean(infos.accept_prob),
-                                     config.target_accept),
-                lambda d: d,
-                da,
-            )
+    @jax.jit
+    def sample_blk(carry, draw_idxs):
+        return jax.lax.scan(draw_step, carry, draw_idxs)
 
-            if config.adapt_mass_matrix and win_hi > win_lo:
-                welford = jax.lax.cond(
-                    (step >= win_lo) & (step < win_hi),
-                    lambda w: _welford_add_batch(w, qs),
-                    lambda w: w,
-                    welford,
-                )
-                # at window end: set mass from pooled variance, restart DA
-                # shrinkage target around the current step size (Stan-style)
-                def apply_mass(args):
-                    da, welford, inv_mass = args
-                    new_inv_mass = _welford_variance(welford)
-                    eps_now = jnp.exp(da.log_step)
-                    return (_da_init(eps_now, dtype)._replace(
-                        mu=jnp.log(10.0 * eps_now)
-                    ), welford, new_inv_mass)
+    def blocks(total):
+        B = config.dispatch_block_steps
+        if B <= 0 or B >= total:
+            return [(0, total)]
+        out = [(s, min(B, total - s)) for s in range(0, total, B)]
+        return out
 
-                da, welford, inv_mass = jax.lax.cond(
-                    step == win_hi,
-                    apply_mass,
-                    lambda args: args,
-                    (da, welford, inv_mass),
-                )
+    # --- warmup: blocks of steps, state carried across dispatches
+    da0 = _da_init(config.initial_step_size, dtype)
+    welford0 = _welford_init(dim, dtype)
+    inv_mass0 = jnp.ones(dim, dtype)
+    wcarry = (q0, key, da0, welford0, inv_mass0)
+    for start, size in blocks(config.num_burnin_steps):
+        wcarry = warmup_blk(wcarry, start + jnp.arange(size))
+    qs, key, da, _, inv_mass = wcarry
+    eps_final = jnp.exp(da.log_step_avg)
 
-            return (qs, key, da, welford, inv_mass), None
-
-        (qs, key, da, _, inv_mass), _ = jax.lax.scan(
-            warmup_step,
-            (q0, key, da0, welford0, inv_mass0),
-            jnp.arange(config.num_burnin_steps),
+    # --- sampling: blocks of draws, samples streamed out per block
+    scarry = (qs, key, eps_final, inv_mass)
+    sample_chunks, info_chunks = [], []
+    for start, size in blocks(config.num_results):
+        scarry, (s_blk, i_blk) = sample_blk(scarry, start + jnp.arange(size))
+        sample_chunks.append(s_blk)
+        info_chunks.append(i_blk)
+    if len(sample_chunks) == 1:
+        samples, infos = sample_chunks[0], info_chunks[0]
+    else:
+        samples = jnp.concatenate(sample_chunks, axis=0)
+        infos = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *info_chunks
         )
 
-        eps_final = jnp.exp(da.log_step_avg)
-
-        def one_transition(carry, step):
-            qs, key = carry
-            key, *chain_keys = jax.random.split(key, C + 1)
-            qs, infos = step_chains(
-                jnp.stack(chain_keys), qs, eps_final, inv_mass, temp_at(step)
-            )
-            maybe_progress("sample", step, eps_final, infos)
-            return (qs, key), infos
-
-        if config.thin == 1:
-            def sample_step(carry, step):
-                carry, infos = one_transition(carry, step)
-                return carry, (carry[0], infos)
-
-            (_, _), (samples, infos) = jax.lax.scan(
-                sample_step,
-                (qs, key),
-                jnp.arange(
-                    config.num_burnin_steps,
-                    config.num_burnin_steps + config.num_results,
-                ),
-            )
-        else:
-            # nested scan: only every thin-th draw is materialized
-            def sample_block(carry, block_idx):
-                base = config.num_burnin_steps + block_idx * config.thin
-                carry, infos = jax.lax.scan(
-                    one_transition, carry, base + jnp.arange(config.thin)
-                )
-                last = jax.tree.map(lambda a: a[-1], infos)
-                return carry, (carry[0], last)
-
-            (_, _), (samples, infos) = jax.lax.scan(
-                sample_block, (qs, key), jnp.arange(config.num_results)
-            )
-        stats = ChainStats(
-            step_size=eps_final,
-            inv_mass=inv_mass,
-            accept_probs=infos.accept_prob,
-            num_leapfrogs=infos.num_leapfrogs,
-            divergences=infos.diverging,
-            depths=infos.depth,
-        )
-        return samples, stats
-
-    return run(q0, key)
+    stats = ChainStats(
+        step_size=eps_final,
+        inv_mass=inv_mass,
+        accept_probs=infos.accept_prob,
+        num_leapfrogs=infos.num_leapfrogs,
+        divergences=infos.diverging,
+        depths=infos.depth,
+    )
+    return samples, stats

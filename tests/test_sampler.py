@@ -132,3 +132,19 @@ def test_thinning_matches_unthinned_endpoints():
     np.testing.assert_allclose(
         np.asarray(s_thin), np.asarray(s_full)[2::3], atol=1e-12
     )
+
+
+def test_dispatch_blocking_bit_identical():
+    """Blocked dispatch must reproduce the single-dispatch chain exactly."""
+    dim = 3
+    lp = _gaussian_logp_grad(jnp.eye(dim))
+    q0 = jnp.zeros((2, dim)) + 0.3
+    key = jax.random.PRNGKey(9)
+    cfg1 = SamplerConfig(num_results=30, num_burnin_steps=25,
+                         use_annealing=False, max_tree_depth=4)
+    cfg2 = cfg1._replace(dispatch_block_steps=7)
+    s1, st1 = run_nuts_chains(lp, q0, key, cfg1)
+    s2, st2 = run_nuts_chains(lp, q0, key, cfg2)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(st1.depths), np.asarray(st2.depths))
+    np.testing.assert_allclose(float(st1.step_size), float(st2.step_size))
