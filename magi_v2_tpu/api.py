@@ -127,6 +127,19 @@ class MAGI_v2:
                 stack.enter_context(jax.enable_x64(True))
         return stack
 
+    @staticmethod
+    def _auto_dispatch_block(requested):
+        """Pick a dispatch block size: explicit value wins; on the axon TPU
+        tunnel (which kills multi-minute single dispatches with
+        UNAVAILABLE) default to 50-step blocks; elsewhere single dispatch."""
+        if requested is not None:
+            return requested
+        try:
+            version = jax.devices()[0].client.platform_version
+        except Exception:
+            version = ""
+        return 50 if "axon" in version.lower() else 0
+
     def _build_inverse_matrices(self, phi1s, phi2s):
         """Batched (C^{-1}, m, K^{-1}) for a set of components.
 
@@ -301,6 +314,7 @@ class MAGI_v2:
         storage: str = "dense",
         reparam: str = "precond",
         thin: int = 1,
+        dispatch_block_steps: Optional[int] = None,
     ):
         """Sample the posterior with annealed NUTS. Reference
         magi_v2.py:286-425; extensions: num_chains (vmapped chains),
@@ -458,6 +472,9 @@ class MAGI_v2:
                 else 0
             ),
             thin=thin,
+            dispatch_block_steps=self._auto_dispatch_block(
+                dispatch_block_steps
+            ),
         )
 
         if verbose:
