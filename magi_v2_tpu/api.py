@@ -352,6 +352,14 @@ class MAGI_v2:
                                        (self.D,))
 
         dtype = cfg.dtype
+        # Factored precisions R = C^{-1/2}, S = K^{-1/2}, computed in f64:
+        # quadratic forms evaluate as ||R x||^2 (float32-safe PSD sums).
+        # Eigenvalues below zero (possible after band truncation) clamp to 0.
+        with self._setup_device_ctx():
+            from magi_v2_tpu.ops.linalg import sym_sqrt
+
+            R64 = sym_sqrt(jnp.asarray(self.C_d_invs))
+            S64 = sym_sqrt(jnp.asarray(self.K_d_invs))
         data = make_posterior_data(
             self.I,
             self.C_d_invs,
@@ -362,6 +370,8 @@ class MAGI_v2:
             self.obs_index,
             sigma_sqs_LB,
             dtype,
+            C_inv_sqrts=np.asarray(R64),
+            K_inv_sqrts=np.asarray(S64),
         )
         if storage == "banded":
             if self.BANDSIZE is None:
@@ -389,11 +399,12 @@ class MAGI_v2:
             )
 
             with self._setup_device_ctx():
-                L64, L_inv64 = build_gn_whitening(self, sigma_sqs_init=None)
+                L64, L_inv64, A164 = build_gn_whitening(self, sigma_sqs_init=None)
             L = jnp.asarray(np.asarray(L64), dtype)
             L_inv = jnp.asarray(np.asarray(L_inv64), dtype)
+            A1 = jnp.asarray(np.asarray(A164), dtype)
             logp_grad = make_tempered_logp_grad_gn(
-                data, self.f_vec, L, self.mag_I, self.D, self.D_thetas
+                data, self.f_vec, L, A1, self.mag_I, self.D, self.D_thetas
             )
         elif reparam == "whitened":
             from magi_v2_tpu.sampler.magi_state import (

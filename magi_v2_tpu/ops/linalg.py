@@ -70,6 +70,20 @@ def band_part(a, num_lower: int, num_upper: int):
     return jnp.where(in_band, a, jnp.zeros_like(a))
 
 
+def sym_sqrt(a, floor_ratio: float = 0.0):
+    """Symmetric PSD square root via eigh; negative eigenvalues clamped to 0.
+
+    Used to factor the precision operators: evaluating quadratic forms as
+    ||A^{1/2} x||^2 instead of x' A x is float32-safe (PSD accumulation, no
+    cancellation) — the raw form with ~1e8-magnitude terms destroys f32
+    energies (see posterior.py)."""
+    a = jnp.asarray(a)
+    w, v = jnp.linalg.eigh((a + jnp.swapaxes(a, -1, -2)) / 2.0)
+    w = jnp.maximum(w, floor_ratio * jnp.max(w, axis=-1, keepdims=True))
+    w = jnp.maximum(w, 0.0)
+    return (v * jnp.sqrt(w)[..., None, :]) @ jnp.swapaxes(v, -1, -2)
+
+
 def solve_psd(a, b, jitter: float = 0.0):
     """Solve a x = b for symmetric PSD a via Cholesky."""
     a = jnp.asarray(a)

@@ -50,10 +50,18 @@ class PosteriorData(NamedTuple):
     not_nan_cols: jax.Array  # (M,) component id per observed entry
     y_observed: jax.Array   # (M,) observed values
     sigma_sqs_LB: jax.Array  # (D,) lower bound on sigma^2
+    # Optional factored precisions R = C^{-1/2}, S = K^{-1/2} (D, N, N):
+    # when present, quadratic forms are evaluated as ||R x||^2 / ||S r||^2 —
+    # identical math, but float32-safe (the raw x\'Ax form sums ~1e8-magnitude
+    # cancelling terms and destroys f32 energies; measured NUTS acceptance
+    # -> 0 on TPU). Factors must be computed in float64 at setup.
+    C_inv_sqrts: jax.Array = None
+    K_inv_sqrts: jax.Array = None
 
 
 def make_posterior_data(
-    I, C_invs, m_ds, K_invs, mu_ds, beta, obs_index, sigma_sqs_LB, dtype
+    I, C_invs, m_ds, K_invs, mu_ds, beta, obs_index, sigma_sqs_LB, dtype,
+    C_inv_sqrts=None, K_inv_sqrts=None,
 ) -> PosteriorData:
     """Assemble PosteriorData from host arrays (obs_index: ObservationIndex)."""
     asd = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
@@ -69,6 +77,8 @@ def make_posterior_data(
         not_nan_cols=jnp.asarray(obs_index.not_nan_cols, dtype=jnp.int32),
         y_observed=asd(obs_index.y_observed),
         sigma_sqs_LB=asd(sigma_sqs_LB),
+        C_inv_sqrts=None if C_inv_sqrts is None else asd(C_inv_sqrts),
+        K_inv_sqrts=None if K_inv_sqrts is None else asd(K_inv_sqrts),
     )
 
 
@@ -124,6 +134,55 @@ def softplus_inverse(y):
     return y + jnp.log(-jnp.expm1(-y))
 
 
+def log_posterior_given_t1(
+    data: PosteriorData,
+    f_vec: Callable,
+    X: jax.Array,
+    sigma_sqs_pre: jax.Array,
+    thetas_pre: jax.Array,
+    beta_temp: jax.Array,
+    t1: jax.Array,
+) -> jax.Array:
+    """Tempered log-posterior with the GP-prior quadratic t1 supplied.
+
+    Whitened samplers compute t1 natively in their own coordinates: the raw
+    x' C^{-1} x form sums ~1e8-magnitude terms with massive cancellation,
+    which destroys float32 energies (measured: NUTS acceptance -> 0 on TPU);
+    z-space forms are well-conditioned.
+    """
+    sigma_sqs = softplus(sigma_sqs_pre) + data.sigma_sqs_LB
+    thetas = softplus(thetas_pre)
+    log_jac_sigma = jnp.sum(jax.nn.log_sigmoid(sigma_sqs_pre))
+    log_jac_theta = jnp.sum(jax.nn.log_sigmoid(thetas_pre))
+
+    beta_temp = jax.lax.stop_gradient(beta_temp)
+    X_cent = (X - data.mu_ds[None, :]).T
+
+    if isinstance(data, BandedPosteriorData):
+        from magi_v2_tpu.ops.banded import banded_matvec
+
+        f_vals = f_vec(data.I, X, thetas).T
+        resid = f_vals - banded_matvec(data.m_ds, X_cent)
+        t2 = jnp.sum(resid * banded_matvec(data.K_invs, resid))
+    else:
+        f_vals = f_vec(data.I, X, thetas).T
+        resid = f_vals - jnp.einsum("dnm,dm->dn", data.m_ds, X_cent)
+        if data.K_inv_sqrts is not None:
+            t2 = jnp.sum(jnp.einsum("dnm,dm->dn", data.K_inv_sqrts, resid) ** 2)
+        else:
+            t2 = jnp.einsum("dn,dnm,dm->", resid, data.K_invs, resid)
+
+    t3 = jnp.sum(data.N_ds * jnp.log(2.0 * jnp.pi * sigma_sqs))
+
+    X_obs = jnp.take(X.reshape(-1), data.not_nan_idxs)
+    inv_var = jnp.take(1.0 / sigma_sqs, data.not_nan_cols)
+    t4 = jnp.sum((X_obs - data.y_observed) ** 2 * inv_var)
+
+    return beta_temp * (
+        -0.5 * ((t1 + t2) / data.beta + t3 + t4) + log_jac_sigma + log_jac_theta
+    )
+
+
 def log_posterior(
     data: PosteriorData,
     f_vec: Callable,
@@ -154,13 +213,20 @@ def log_posterior(
         resid = f_vals - banded_matvec(data.m_ds, X_cent)
         t2 = jnp.sum(resid * banded_matvec(data.K_invs, resid))
     else:
-        # t1: GP prior quadratic forms — batched MXU matvecs
-        t1 = jnp.einsum("dn,dnm,dm->", X_cent, data.C_invs, X_cent)
+        # t1: GP prior quadratic forms — batched MXU matvecs, in factored
+        # ||R x||^2 form when sqrt factors are present (float32-safe)
+        if data.C_inv_sqrts is not None:
+            t1 = jnp.sum(jnp.einsum("dnm,dm->dn", data.C_inv_sqrts, X_cent) ** 2)
+        else:
+            t1 = jnp.einsum("dn,dnm,dm->", X_cent, data.C_invs, X_cent)
 
         # t2: manifold constraint
         f_vals = f_vec(data.I, X, thetas).T            # (D, N_I)
         resid = f_vals - jnp.einsum("dnm,dm->dn", data.m_ds, X_cent)
-        t2 = jnp.einsum("dn,dnm,dm->", resid, data.K_invs, resid)
+        if data.K_inv_sqrts is not None:
+            t2 = jnp.sum(jnp.einsum("dnm,dm->dn", data.K_inv_sqrts, resid) ** 2)
+        else:
+            t2 = jnp.einsum("dn,dnm,dm->", resid, data.K_invs, resid)
 
     # t3: noise normalizer
     t3 = jnp.sum(data.N_ds * jnp.log(2.0 * jnp.pi * sigma_sqs))

@@ -107,12 +107,25 @@ def make_tempered_logp_grad_whitened(
     D: int,
     D_thetas: int,
 ):
-    """Whitened-state fused evaluation: q = (z flat, sigma_pre, theta_pre)."""
+    """Whitened-state fused evaluation: q = (z flat, sigma_pre, theta_pre).
+
+    t1 is computed natively as ||z||^2: with L = C^{1/2} from the shared
+    eigh, z' L' C^{-1} L z = z' P z (P the projector onto the retained
+    spectrum). Using the full ||z||^2 instead of z'Pz adds a proper N(0,1)
+    prior on the discarded-eigenvalue coordinates — which do not affect X
+    at all (L maps them to zero) — so the posterior over X is unchanged
+    while the float32 cancellation of the raw x'C^{-1}x form (1e8-magnitude
+    terms) is avoided entirely.
+    """
+    from magi_v2_tpu.posterior import log_posterior_given_t1
 
     def lp(q, beta_temp):
         Z, sigma_pre, theta_pre = unflatten_state(q, N_I, D, D_thetas)
         X = unwhiten_Z(Z, data.mu_ds, L)
-        return log_posterior(data, f_vec, X, sigma_pre, theta_pre, beta_temp)
+        t1 = jnp.sum(Z * Z)
+        return log_posterior_given_t1(
+            data, f_vec, X, sigma_pre, theta_pre, beta_temp, t1
+        )
 
     vag = jax.value_and_grad(lp, argnums=0)
 

@@ -89,8 +89,16 @@ def factor_precision(lam, floor_ratio: float = 1e-12):
 
 
 def build_gn_whitening(model, sigma_sqs_init=None):
-    """Convenience: (L, L_inv) full-state whitening factors from a fitted
-    MAGI_v2 model (host-side, float64)."""
+    """(L, L_inv, A1) full-state whitening factors from a fitted MAGI_v2
+    model (host-side, float64).
+
+    A1 = L' blkdiag_d(C_d^{-1}) L is the GP-prior quadratic expressed in
+    whitened coordinates: t1 = z' A1 z. It is well-conditioned (eigenvalues
+    bounded by the preconditioned curvature ratio), so evaluating it in
+    float32 is safe — unlike the raw x' C^{-1} x form, whose ~1e8-magnitude
+    term cancellation destroys float32 energies (measured: NUTS acceptance
+    -> 0 on TPU).
+    """
     N, D = model.mag_I, model.D
     obs_mask = (~np.isnan(model.X_obs_discret)).astype(np.float64)
     sigma = (
@@ -103,7 +111,17 @@ def build_gn_whitening(model, sigma_sqs_init=None):
         model.C_d_invs, model.m_ds, model.K_d_invs, model.beta,
         obs_mask, sigma, J,
     )
-    return factor_precision(lam)
+    L, L_inv = factor_precision(lam)
+
+    # blkdiag(C_inv) in X.ravel() (n*D+d) index order, then sandwich with L
+    C_invs = jnp.asarray(model.C_d_invs)
+    Cb = jnp.zeros((N, D, N, D), C_invs.dtype)
+    for d in range(D):
+        Cb = Cb.at[:, d, :, d].set(C_invs[d])
+    Cb = Cb.reshape(N * D, N * D)
+    A1 = L.T @ (Cb @ L)
+    A1 = (A1 + A1.T) / 2.0
+    return L, L_inv, A1
 
 
 # --- full-state whitening transforms (X block flattened row-major) ---------
@@ -123,16 +141,21 @@ def unwhiten_Z_full(Z, mu_ds, L):
 
 
 def make_tempered_logp_grad_gn(
-    data, f_vec, L, N_I: int, D: int, D_thetas: int
+    data, f_vec, L, A1, N_I: int, D: int, D_thetas: int
 ):
-    """Fused evaluation in GN-whitened coordinates."""
-    from magi_v2_tpu.posterior import log_posterior
+    """Fused evaluation in GN-whitened coordinates; t1 = z' A1 z (see
+    build_gn_whitening for why this form is float32-safe)."""
+    from magi_v2_tpu.posterior import log_posterior_given_t1
     from magi_v2_tpu.sampler.magi_state import unflatten_state
 
     def lp(q, beta_temp):
         Z, sigma_pre, theta_pre = unflatten_state(q, N_I, D, D_thetas)
         X = unwhiten_Z_full(Z, data.mu_ds, L)
-        return log_posterior(data, f_vec, X, sigma_pre, theta_pre, beta_temp)
+        zf = Z.reshape(-1)
+        t1 = zf @ (A1 @ zf)
+        return log_posterior_given_t1(
+            data, f_vec, X, sigma_pre, theta_pre, beta_temp, t1
+        )
 
     vag = jax.value_and_grad(lp, argnums=0)
 

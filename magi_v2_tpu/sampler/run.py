@@ -202,12 +202,13 @@ def run_nuts_chains(
                 flush=True,
             )
 
+        ft = infos.accept_prob.dtype
         jax.lax.cond(
             step % progress_every == 0,
             lambda: jax.debug.callback(
                 cb, step, eps, jnp.mean(infos.accept_prob),
-                jnp.mean(infos.depth.astype(qsdtype := infos.accept_prob.dtype)),
-                jnp.mean(infos.diverging.astype(qsdtype)),
+                jnp.mean(infos.depth.astype(ft)),
+                jnp.mean(infos.diverging.astype(ft)),
             ),
             lambda: None,
         )

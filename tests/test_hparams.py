@@ -58,3 +58,19 @@ def test_single_component_branch(gp_draws):
     out = fit_kernel_hparams(I, X[:, :1], num_iters=100)
     assert out["phi1s"].shape == (1,)
     assert np.isfinite(out["losses"]).all()
+
+
+@pytest.mark.slow
+def test_grid_mode_biases_sigma_down(gp_draws):
+    """Documented reference behavior (DEVIATIONS.md item 14): fitting on
+    linearly interpolated fine-grid values collapses sigma^2 vs obs-fitting."""
+    import numpy as np
+    from magi_v2_tpu import preprocess
+
+    I, X, true = gp_draws
+    # build a 2x-refined grid with linear interpolation, like the reference
+    I2, Xd = preprocess.discretize(I, X, discretization=1)
+    X2 = preprocess.linear_interpolate(Xd)
+    out_obs = fit_kernel_hparams(I, X, num_iters=300)
+    out_grid = fit_kernel_hparams(I2, X2, num_iters=300)
+    assert np.all(out_grid["sigma_sqs"] < 0.5 * out_obs["sigma_sqs"])

@@ -157,3 +157,28 @@ def test_posterior_invariant_to_obs_index_permutation():
     np.testing.assert_allclose(
         float(lp1(X, s, t, 1.0)), float(lp2(X, s, t, 1.0)), rtol=1e-12
     )
+
+
+def test_sqrt_factored_matches_plain():
+    """||R x||^2 factored evaluation == x'Ax evaluation (f64)."""
+    from magi_v2_tpu.ops.linalg import sym_sqrt
+
+    I, X_obs, obs_index, C_invs, m_ds, K_invs, mu_ds, beta, sigma_LB = _fixture(21)
+    N, D = X_obs.shape
+    plain = make_posterior_data(I, C_invs, m_ds, K_invs, mu_ds, beta,
+                                obs_index, sigma_LB, jnp.float64)
+    factored = make_posterior_data(
+        I, C_invs, m_ds, K_invs, mu_ds, beta, obs_index, sigma_LB,
+        jnp.float64,
+        C_inv_sqrts=np.asarray(sym_sqrt(jnp.asarray(C_invs))),
+        K_inv_sqrts=np.asarray(sym_sqrt(jnp.asarray(K_invs))),
+    )
+    lp1 = make_log_posterior(plain, seir_f_vec)
+    lp2 = make_log_posterior(factored, seir_f_vec)
+    rng = np.random.default_rng(22)
+    for _ in range(3):
+        X = jnp.asarray(rng.normal(size=(N, D)))
+        s, t = jnp.asarray(rng.normal(size=D)), jnp.asarray(rng.normal(size=3))
+        np.testing.assert_allclose(
+            float(lp2(X, s, t, 0.9)), float(lp1(X, s, t, 0.9)), rtol=1e-9
+        )

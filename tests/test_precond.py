@@ -115,9 +115,13 @@ def test_posterior_invariant_under_gn_whitening():
         C_invs, m_ds, K_invs, beta, obs_mask, np.full(D, 0.01), J
     )
     L, L_inv = factor_precision(lam)
+    Cb = np.zeros((N, D, N, D))
+    for d in range(D):
+        Cb[:, d, :, d] = C_invs[d]
+    A1 = jnp.asarray(L).T @ (jnp.asarray(Cb.reshape(N * D, N * D)) @ jnp.asarray(L))
 
     lp_centered = make_log_posterior(data, seir_f_vec)
-    lp_gn = make_tempered_logp_grad_gn(data, seir_f_vec, L, N, D, 3)
+    lp_gn = make_tempered_logp_grad_gn(data, seir_f_vec, L, A1, N, D, 3)
 
     for _ in range(3):
         X = jnp.asarray(rng.normal(size=(N, D)) * 0.2)
