@@ -510,11 +510,15 @@ class MAGI_v2:
         )
         if reparam == "precond":
             # map z samples back to trajectories: X = mu + L z
-            X_samps = jax.jit(
-                lambda Z: unwhiten_Z_full(Z, data.mu_ds, L)
-            )(X_samps)
+            with jax.default_matmul_precision("highest"):
+                X_samps = jax.jit(
+                    lambda Z: unwhiten_Z_full(Z, data.mu_ds, L)
+                )(X_samps)
         elif reparam == "whitened":
-            X_samps = jax.jit(lambda Z: unwhiten_Z(Z, data.mu_ds, L))(X_samps)
+            with jax.default_matmul_precision("highest"):
+                X_samps = jax.jit(
+                    lambda Z: unwhiten_Z(Z, data.mu_ds, L)
+                )(X_samps)
         squeeze = num_chains == 1
 
         def maybe_squeeze(a):

@@ -166,7 +166,18 @@ def run_nuts_chains(
 
     samples has shape (num_results, C, dim). The whole procedure is one jit:
     two lax.scans (warmup, sampling), vmapped NUTS inside.
+
+    Matmul precision is pinned to HIGHEST: TPU float32 dots default to
+    bfloat16 passes (8-bit mantissa), and the posterior's precision-operator
+    contractions cancel ~1e3-magnitude terms down to O(1) — bf16 noise there
+    collapses NUTS acceptance (measured). HIGHEST costs ~6 bf16 passes on
+    matmuls that are a small fraction of the leapfrog anyway.
     """
+    with jax.default_matmul_precision("highest"):
+        return _run_nuts_chains_impl(tempered_logp_grad, q0, key, config)
+
+
+def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
     C, dim = q0.shape
     dtype = q0.dtype
     cfg = NutsConfig(config.max_tree_depth, config.max_energy_diff)
