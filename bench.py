@@ -26,6 +26,16 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compilation cache: the sampler's block functions compile
+    # once and reuse across runs (the axon runtime advertises compile-cache
+    # support; harmless elsewhere)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.magi_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     # Precision policy: setup (kernel matrices, pinv, hyperparameter MLE,
