@@ -352,6 +352,14 @@ class MAGI_v2:
                                        (self.D,))
 
         dtype = cfg.dtype
+        if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+            raise ValueError(
+                "MagiConfig.dtype is float64 but jax x64 is disabled: "
+                "sampling would silently downcast. Either enable x64 "
+                "globally (CPU parity mode: jax.config.update("
+                "'jax_enable_x64', True)) or use the TPU fast mode "
+                "(MagiConfig().replace(dtype=jnp.float32))."
+            )
         # Factored precisions R = C^{-1/2}, S = K^{-1/2}, computed in f64:
         # quadratic forms evaluate as ||R x||^2 (float32-safe PSD sums).
         # Eigenvalues below zero (possible after band truncation) clamp to 0.
