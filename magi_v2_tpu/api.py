@@ -315,6 +315,8 @@ class MAGI_v2:
         reparam: str = "precond",
         thin: int = 1,
         dispatch_block_steps: Optional[int] = None,
+        algorithm: str = "nuts",
+        hmc_num_leapfrogs: int = 64,
     ):
         """Sample the posterior with annealed NUTS. Reference
         magi_v2.py:286-425; extensions: num_chains (vmapped chains),
@@ -494,6 +496,8 @@ class MAGI_v2:
             dispatch_block_steps=self._auto_dispatch_block(
                 dispatch_block_steps
             ),
+            algorithm=algorithm,
+            hmc_num_leapfrogs=hmc_num_leapfrogs,
         )
 
         if verbose:

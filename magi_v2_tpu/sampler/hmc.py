@@ -1,0 +1,75 @@
+"""Fixed-length (jittered) HMC transition — the synchronous TPU fast path.
+
+Vmapped NUTS pays a SIMD tax: a lax.while_loop under vmap runs every chain
+until the DEEPEST tree of the batch finishes each step, so wall-clock is set
+by the max trajectory length over 256 chains. This kernel runs a fixed
+number of leapfrogs per step — identical for all chains, with the length
+jittered by a shared uniform factor per step (breaking resonances the way
+ChEES-HMC does) — so the batch stays in lockstep and the MXU never idles.
+
+Metropolis-corrected, so the stationary distribution is exact. Use
+``SamplerConfig(algorithm="hmc", hmc_num_leapfrogs=L)``; step size is
+adapted by the same dual-averaging machinery (acceptance statistic =
+min(1, exp(-dH))).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class HmcInfo(NamedTuple):
+    accept_prob: jax.Array
+    num_leapfrogs: jax.Array
+    diverging: jax.Array
+    depth: jax.Array  # log2(leapfrogs), for display parity with NUTS
+
+
+def make_hmc_step(max_leapfrogs: int, max_energy_diff: float = 1000.0):
+    """HMC step with a static leapfrog bound; the traced ``num_leapfrogs``
+    (<= max_leapfrogs) masks the tail so all chains trace one scan."""
+
+    def step(logp_grad_fn, key, q, step_size, inv_mass, num_leapfrogs):
+        dt = q.dtype
+        key_mom, key_acc = jax.random.split(key)
+        logp0, grad0 = logp_grad_fn(q)
+        p0 = jax.random.normal(key_mom, q.shape, dt) / jnp.sqrt(inv_mass)
+        H0 = -logp0 + 0.5 * jnp.sum(p0 * p0 * inv_mass)
+
+        def body(carry, i):
+            qc, pc, gc, logp_c = carry
+            p_half = pc + 0.5 * step_size * gc
+            q_new = qc + step_size * p_half * inv_mass
+            logp, g_new = logp_grad_fn(q_new)
+            p_new = p_half + 0.5 * step_size * g_new
+            take = i < num_leapfrogs
+            sel = lambda n, o: jnp.where(take, n, o)
+            return (sel(q_new, qc), sel(p_new, pc), sel(g_new, gc),
+                    sel(logp, logp_c)), None
+
+        (q1, p1, _, logp1), _ = jax.lax.scan(
+            body, (q, p0, grad0, logp0), jnp.arange(max_leapfrogs)
+        )
+        H1 = -logp1 + 0.5 * jnp.sum(p1 * p1 * inv_mass)
+        dH = H1 - H0
+        dH = jnp.where(jnp.isfinite(dH), dH, jnp.inf)
+        accept_prob = jnp.exp(jnp.minimum(0.0, -dH))
+        diverging = dH > max_energy_diff
+        accept = (
+            jax.random.uniform(key_acc, dtype=dt) < accept_prob
+        ) & ~diverging
+        q_out = jnp.where(accept, q1, q)
+        info = HmcInfo(
+            accept_prob=jnp.where(diverging, 0.0, accept_prob).astype(dt),
+            num_leapfrogs=num_leapfrogs,
+            diverging=diverging,
+            depth=jnp.ceil(
+                jnp.log2(jnp.maximum(num_leapfrogs, 1).astype(dt))
+            ).astype(jnp.int32),
+        )
+        return q_out, info
+
+    return step

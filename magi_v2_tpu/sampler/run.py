@@ -65,6 +65,12 @@ class SamplerConfig(NamedTuple):
     # bounding device memory. State is carried across blocks, so results
     # are bit-identical to the single-dispatch path.
     dispatch_block_steps: int = 0
+    # Transition kernel: "nuts" (adaptive trajectory lengths) or "hmc"
+    # (fixed jittered length, all chains in lockstep — no slowest-tree
+    # sync under vmap, the TPU throughput mode; see sampler/hmc.py).
+    algorithm: str = "nuts"
+    hmc_num_leapfrogs: int = 64    # max leapfrogs per HMC step
+    hmc_jitter: bool = True        # jitter length per step (shared by chains)
 
 
 _CALLBACKS_SUPPORTED: bool | None = None
@@ -191,11 +197,35 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
             return jnp.asarray(1.0, dtype)
         return log_temperature_schedule(step, config.anneal_min_temp).astype(dtype)
 
-    def step_chains(keys, qs, eps, inv_mass, beta_temp):
-        lp = lambda q: tempered_logp_grad(q, beta_temp)
-        return jax.vmap(
-            lambda k, q: nuts_step(lp, k, q, eps, inv_mass, cfg)
-        )(keys, qs)
+    if config.algorithm == "hmc":
+        from magi_v2_tpu.sampler.hmc import make_hmc_step
+
+        _hmc = make_hmc_step(config.hmc_num_leapfrogs,
+                             config.max_energy_diff)
+
+        def step_chains(keys, qs, eps, inv_mass, beta_temp):
+            lp = lambda q: tempered_logp_grad(q, beta_temp)
+            # one shared jittered trajectory length per step: keeps every
+            # chain in lockstep (the whole point of the HMC mode)
+            if config.hmc_jitter:
+                u = jax.random.uniform(jax.random.fold_in(keys[0], 1))
+                L = jnp.maximum(
+                    1,
+                    jnp.ceil(u * config.hmc_num_leapfrogs).astype(jnp.int32),
+                )
+            else:
+                L = jnp.asarray(config.hmc_num_leapfrogs, jnp.int32)
+            return jax.vmap(
+                lambda k, q: _hmc(lp, k, q, eps, inv_mass, L)
+            )(keys, qs)
+    elif config.algorithm == "nuts":
+        def step_chains(keys, qs, eps, inv_mass, beta_temp):
+            lp = lambda q: tempered_logp_grad(q, beta_temp)
+            return jax.vmap(
+                lambda k, q: nuts_step(lp, k, q, eps, inv_mass, cfg)
+            )(keys, qs)
+    else:
+        raise ValueError(f"unknown algorithm {config.algorithm!r}")
 
     progress_every = config.progress_every
     if progress_every and not _callbacks_supported():

@@ -148,3 +148,30 @@ def test_dispatch_blocking_bit_identical():
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     np.testing.assert_array_equal(np.asarray(st1.depths), np.asarray(st2.depths))
     np.testing.assert_allclose(float(st1.step_size), float(st2.step_size))
+
+
+def test_hmc_standard_normal_moments():
+    dim = 3
+    lp = _gaussian_logp_grad(jnp.eye(dim))
+    cfg = SamplerConfig(num_results=1500, num_burnin_steps=500,
+                        use_annealing=False, algorithm="hmc",
+                        hmc_num_leapfrogs=16)
+    q0 = jnp.zeros((8, dim)) + 1.5
+    samples, stats = run_nuts_chains(lp, q0, jax.random.PRNGKey(11), cfg)
+    flat = np.asarray(samples).reshape(-1, dim)
+    assert np.abs(flat.mean(axis=0)).max() < 0.12
+    np.testing.assert_allclose(flat.var(axis=0), 1.0, atol=0.15)
+    assert not np.asarray(stats.divergences).any()
+
+
+def test_hmc_correlated_gaussian():
+    cov = np.array([[1.0, 0.7], [0.7, 2.0]])
+    cov_inv = jnp.asarray(np.linalg.inv(cov))
+    cfg = SamplerConfig(num_results=2500, num_burnin_steps=800,
+                        use_annealing=False, algorithm="hmc",
+                        hmc_num_leapfrogs=16)
+    q0 = jnp.zeros((8, 2))
+    samples, _ = run_nuts_chains(_gaussian_logp_grad(cov_inv), q0,
+                                 jax.random.PRNGKey(12), cfg)
+    flat = np.asarray(samples).reshape(-1, 2)
+    np.testing.assert_allclose(np.cov(flat.T), cov, atol=0.3)
