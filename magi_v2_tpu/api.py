@@ -317,6 +317,7 @@ class MAGI_v2:
         dispatch_block_steps: Optional[int] = None,
         algorithm: str = "nuts",
         hmc_num_leapfrogs: int = 64,
+        anneal_mode: str = "reference",
     ):
         """Sample the posterior with annealed NUTS. Reference
         magi_v2.py:286-425; extensions: num_chains (vmapped chains),
@@ -498,6 +499,7 @@ class MAGI_v2:
             ),
             algorithm=algorithm,
             hmc_num_leapfrogs=hmc_num_leapfrogs,
+            anneal_mode=anneal_mode,
         )
 
         if verbose:

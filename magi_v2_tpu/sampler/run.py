@@ -47,6 +47,12 @@ class SamplerConfig(NamedTuple):
     max_energy_diff: float = 1000.0
     anneal_min_temp: float = 0.1       # magi_v2.py:841
     use_annealing: bool = True
+    # "reference": the reference's schedule runs through sampling too, so
+    # results are draws from a TEMPERED posterior at temp ~1/log(steps)
+    # (~0.13 at 2000 steps — this is what the reference's published numbers
+    # are, magi_v2.py:348,833-835). "warmup_only": anneal during warmup,
+    # sample the true posterior (temp=1) afterwards.
+    anneal_mode: str = "reference"
     adapt_mass_matrix: bool = True
     mass_window_begin: float = 0.1     # fraction of burnin
     mass_window_end: float = 0.7
@@ -195,7 +201,16 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
     def temp_at(step):
         if not config.use_annealing:
             return jnp.asarray(1.0, dtype)
-        return log_temperature_schedule(step, config.anneal_min_temp).astype(dtype)
+        t = log_temperature_schedule(step, config.anneal_min_temp).astype(dtype)
+        if config.anneal_mode == "warmup_only":
+            # ramp back to temp=1 by the end of step-size adaptation so the
+            # adapted eps matches the temperature actually sampled at
+            ramp = jnp.clip(
+                step.astype(dtype) / jnp.asarray(max(num_adapt, 1), dtype),
+                0.0, 1.0,
+            )
+            return jnp.maximum(t, ramp)
+        return t
 
     if config.algorithm == "hmc":
         from magi_v2_tpu.sampler.hmc import make_hmc_step

@@ -175,3 +175,17 @@ def test_hmc_correlated_gaussian():
                                  jax.random.PRNGKey(12), cfg)
     flat = np.asarray(samples).reshape(-1, 2)
     np.testing.assert_allclose(np.cov(flat.T), cov, atol=0.3)
+
+
+def test_warmup_only_annealing_samples_true_posterior():
+    """anneal_mode='warmup_only': draws match the untempered target."""
+    dim = 2
+    lp_tempered = lambda q, bt: (bt * (-0.5 * jnp.sum(q ** 2)), bt * (-q))
+    cfg = SamplerConfig(num_results=2000, num_burnin_steps=600,
+                        use_annealing=True, anneal_mode="warmup_only",
+                        max_tree_depth=5)
+    q0 = jnp.zeros((4, dim))
+    samples, _ = run_nuts_chains(lp_tempered, q0, jax.random.PRNGKey(13), cfg)
+    flat = np.asarray(samples).reshape(-1, dim)
+    # variance 1.0, NOT 1/0.13 ~ 7.5 as the reference-mode tempered target
+    np.testing.assert_allclose(flat.var(axis=0), 1.0, atol=0.15)
