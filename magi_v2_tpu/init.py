@@ -92,12 +92,19 @@ def fit_unobserved_gradient_matching(
     seed: int = 0,
     learning_rate: float = 0.01,
     num_iters: int = 10000,
+    num_starts: int = 8,
 ):
     """Joint (X_unobs, theta) gradient-matching init (magi_v2.py:199-245).
 
     X_unobs is initialized from the observed components' moments
     (magi_v2.py:219-226); the loss is the L2 gap between f(X_full, theta) and
     central finite differences of X_full on the uniform grid.
+
+    Extension over the reference (single random start): ``num_starts``
+    random initializations optimized in one vmapped scan, best final loss
+    wins — the objective is multimodal when an unobserved component's scale
+    can trade off against a parameter (e.g. the a*H product in Hes1), and a
+    single start frequently lands in the wrong basin.
     """
     I = jnp.asarray(np.asarray(I))
     X_obs_s = jnp.asarray(np.asarray(X_obs_smoothed))
@@ -111,7 +118,7 @@ def fit_unobserved_gradient_matching(
     sd_init = float(np.sqrt((np.asarray(X_obs_smoothed).std(axis=0) ** 2).mean()))
     key = jax.random.PRNGKey(seed)
     X_unobs0 = mu_init + sd_init * jax.random.normal(
-        key, (N_I, D_unobserved), dtype
+        key, (num_starts, N_I, D_unobserved), dtype
     )
 
     def loss(params):
@@ -123,8 +130,34 @@ def fit_unobserved_gradient_matching(
         f_diff = (X_full[2:, :] - X_full[:-2, :]) / (2.0 * dt)
         return jnp.sum((f_vals[1:-1] - f_diff) ** 2)
 
-    params0 = {"X_unobs": X_unobs0, "thetas": jnp.ones((D_thetas,), dtype)}
-    params, losses = _adam_scan(loss, params0, learning_rate, num_iters)
+    opt = optax.adam(learning_rate, eps=1e-7)
+
+    @jax.jit
+    def run_all(X_unobs0):
+        def one_start(x0):
+            params0 = {"X_unobs": x0, "thetas": jnp.ones((D_thetas,), dtype)}
+            opt_state = opt.init(params0)
+
+            def step(carry, _):
+                params, opt_state = carry
+                lval, grads = jax.value_and_grad(loss)(params)
+                updates, opt_state = opt.update(grads, opt_state)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), lval
+
+            (params, _), losses = jax.lax.scan(
+                step, (params0, opt_state), None, length=num_iters
+            )
+            return params, losses
+
+        params, losses = jax.vmap(one_start)(X_unobs0)
+        best = jnp.argmin(losses[:, -1])
+        return (
+            jax.tree.map(lambda a: a[best], params),
+            losses[best],
+        )
+
+    params, losses = run_all(X_unobs0)
     return (
         np.asarray(params["X_unobs"]),
         np.asarray(params["thetas"]),

@@ -77,32 +77,40 @@ def simulate_ode(
     here it is evaluated on single rows. Returns (ts (n_obs,),
     X_obs (n_obs, D) noisy [NaN for unobserved components], X_true).
     """
+    import jax
     import jax.numpy as jnp
 
     x0 = np.asarray(x0, np.float64)
     D = x0.shape[0]
     ts = np.linspace(0.0, t_max, n_obs)
-    thetas_j = jnp.asarray(thetas)
+    h = (t_max / (n_obs - 1)) / substeps
 
-    def f(t, x):
-        out = f_vec(jnp.asarray([[t]]), jnp.asarray(x[None, :]), thetas_j)
-        return np.asarray(out)[0]
+    # One jitted lax.scan on CPU: a Python RK4 loop would eagerly dispatch
+    # ~1e6 tiny ops (catastrophic through a TPU tunnel — measured minutes
+    # of stall on the Lorenz dense config).
+    with jax.default_device(jax.devices("cpu")[0]):
+        thetas_j = jnp.asarray(thetas)
 
-    X_true = np.zeros((n_obs, D))
-    X_true[0] = x0
-    x = x0.copy()
-    for i in range(1, n_obs):
-        t0, t1 = ts[i - 1], ts[i]
-        h = (t1 - t0) / substeps
-        tt = t0
-        for _ in range(substeps):
-            k1 = f(tt, x)
-            k2 = f(tt + h / 2, x + h / 2 * k1)
-            k3 = f(tt + h / 2, x + h / 2 * k2)
-            k4 = f(tt + h, x + h * k3)
-            x = x + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
-            tt += h
-        X_true[i] = x
+        def f(t, x):
+            return f_vec(t[None, None], x[None, :], thetas_j)[0]
+
+        def substep(x, t):
+            k1 = f(t, x)
+            k2 = f(t + h / 2, x + h / 2 * k1)
+            k3 = f(t + h / 2, x + h / 2 * k2)
+            k4 = f(t + h, x + h * k3)
+            return x + h / 6 * (k1 + 2 * k2 + 2 * k3 + k4), None
+
+        def obs_step(x, t0):
+            x, _ = jax.lax.scan(substep, x, t0 + h * jnp.arange(substeps))
+            return x, x
+
+        @jax.jit
+        def integrate(x0):
+            return jax.lax.scan(obs_step, x0, jnp.asarray(ts[:-1]))[1]
+
+        X_rest = np.asarray(integrate(jnp.asarray(x0)))
+    X_true = np.concatenate([x0[None, :], X_rest], axis=0)
 
     rng = np.random.default_rng(seed)
     noise_sd = np.broadcast_to(np.asarray(noise_sd, np.float64), (D,))
