@@ -169,6 +169,10 @@ class MAGI_v2:
             return self._initial_fit_impl(discretization, verbose)
 
     def _initial_fit_impl(self, discretization: int, verbose: bool):
+        from magi_v2_tpu.utils.profiling import PhaseTimer
+
+        timer = PhaseTimer()
+        self._fit_timer = timer
         cfg = self.config
         self.I, self.X_obs_discret = preprocess.discretize(
             self.ts_obs, self.X_obs, discretization
@@ -191,13 +195,14 @@ class MAGI_v2:
         else:  # "grid": reference behavior (magi_v2.py:105-106)
             fit_I = self.I
             fit_X = self.X_interp_obs
-        hparams_obs = fit_kernel_hparams(
-            fit_I,
-            fit_X,
-            nu=cfg.matern_nu,
-            learning_rate=cfg.hparam_learning_rate,
-            num_iters=cfg.hparam_num_iters,
-        )
+        with timer.phase("hparam_mle"):
+            hparams_obs = fit_kernel_hparams(
+                fit_I,
+                fit_X,
+                nu=cfg.matern_nu,
+                learning_rate=cfg.hparam_learning_rate,
+                num_iters=cfg.hparam_num_iters,
+            )
         self.phi1s[self.observed_indicators] = hparams_obs["phi1s"]
         self.phi2s[self.observed_indicators] = hparams_obs["phi2s"]
         self.sigma_sqs_init[self.observed_indicators] = hparams_obs["sigma_sqs"]
@@ -208,9 +213,10 @@ class MAGI_v2:
         self.C_d_invs = np.zeros((self.D, self.mag_I, self.mag_I))
         self.m_ds = np.zeros((self.D, self.mag_I, self.mag_I))
         self.K_d_invs = np.zeros((self.D, self.mag_I, self.mag_I))
-        C_invs, m_ds, K_invs = self._build_inverse_matrices(
-            hparams_obs["phi1s"], hparams_obs["phi2s"]
-        )
+        with timer.phase("kernel_matrices"):
+            C_invs, m_ds, K_invs = self._build_inverse_matrices(
+                hparams_obs["phi1s"], hparams_obs["phi2s"]
+            )
         for i, d in enumerate(self.observed_components):
             self.C_d_invs[d] = C_invs[i]
             self.m_ds[d] = m_ds[i]
@@ -218,6 +224,8 @@ class MAGI_v2:
 
         if np.all(self.observed_indicators):
             # --- fully observed: theta-only init (magi_v2.py:133-179)
+            timer.phases.setdefault("theta_init", 0.0)
+            _t0 = time.time()
             self.thetas_init, _ = fit_theta_fully_observed(
                 self.f_vec,
                 self.I,
@@ -229,6 +237,7 @@ class MAGI_v2:
                 learning_rate=cfg.init_learning_rate,
                 num_iters=cfg.init_num_iters,
             )
+            timer.phases["theta_init"] += time.time() - _t0
         else:
             # --- partially observed: joint gradient matching
             # (magi_v2.py:182-268), observed components fixed at their
@@ -290,13 +299,16 @@ class MAGI_v2:
             )
 
         # smooth the initial trajectories (magi_v2.py:277)
-        self.Xhat_init = preprocess.cv_cubic_smoother(
-            self.I,
-            self.Xhat_init,
-            n_splits=cfg.spline_cv_folds,
-            obs_per_knot=cfg.spline_obs_per_knot,
-            min_points=cfg.spline_min_points,
-        )
+        with timer.phase("cv_smoother"):
+            self.Xhat_init = preprocess.cv_cubic_smoother(
+                self.I,
+                self.Xhat_init,
+                n_splits=cfg.spline_cv_folds,
+                obs_per_knot=cfg.spline_obs_per_knot,
+                min_points=cfg.spline_min_points,
+            )
+        if verbose:
+            print(f"initial_fit phases: {timer.report()}")
 
     # ------------------------------------------------------------------
 
