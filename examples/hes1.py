@@ -3,7 +3,16 @@ gradient-matching joint initialization branch (magi_v2.py:182-268;
 BASELINE.json configs[2]).
 
 The classic MAGI Hes1 benchmark observes P and M but never H; the model is
-run on the log scale (hes1_log_f_vec)."""
+run on the log scale (hes1_log_f_vec).
+
+Known limitation (shared with the reference, whose init uses the same
+finite-difference gradient-matching objective, magi_v2.py:199-216): with H
+fully unobserved, the objective has a degenerate basin — flattening H and
+shrinking (a, f) zeroes dH/dt error — whose loss is LOWER than the truth's
+(measured 0.15 vs 1.27 on this data), so theta components a, b, f start
+badly and the annealed sampler stays near them. Recovery of c, d, e, g is
+reasonable. Improving this (e.g. alternating MAGI refits, informative
+priors on theta) is future work."""
 
 import argparse
 import time
