@@ -4,20 +4,20 @@ forms with O(N*b) cost — Pallas TPU kernel with an XLA fallback.
 The reference's ``bandsize`` option truncates C^{-1}, K^{-1}, m to a band but
 keeps storing and multiplying them DENSE (magi_v2.py:271-274; SURVEY.md §5),
 so only the statistics change, not the FLOPs or memory. Here the band is
-real: diagonal-offset storage (D, 2b+1, N) and a shifted multiply-accumulate
-matvec, which turns the O(N^2) per-leapfrog cost into O(N*b) and the
-O(D*N^2) memory into O(D*N*b) — the honest "blockwise attention" analog for
-this workload, and what makes N_I >= 4k grids (Lorenz dense config) fit on
-chip.
+real: diagonal-offset storage (D, 2b+1, N) plus a BLOCK-banded
+(nb, 2hw+1, 128, 128) tile form, which turn the O(N^2) per-leapfrog cost
+into O(N*b) and the O(D*N^2) memory into O(D*N*b) — the honest "blockwise
+attention" analog for this workload, and what makes N_I >= 4k grids
+(Lorenz dense config) fit on chip.
 
-Performance note (v5e): for N_I up to ~2k the dense batched matvec rides the
-MXU and wins; the banded path is the memory/scaling mode. The Pallas kernel
-processes (rows x N) tiles in VMEM, accumulating the 2b+1 shifted diagonal
-products on the VPU without materializing shifted copies in HBM.
-
-Autodiff: matvec is linear; the VJP is a banded matvec with the transposed
-band (flip the diagonal axis and shift each diagonal), wired via custom_vjp
-so gradients flow through the Pallas kernel.
+Two apply paths:
+- block_banded_matvec: 128x128 tiles contracted in one batched einsum —
+  the MXU-native TPU path (a hand-written Pallas diagonal kernel was tried
+  and rejected: Mosaic requires 128-aligned dynamic lane-slices, and the
+  VPU shifted-accumulate loses to the MXU by ~10x anyway at b ~ 100).
+- banded_matvec: diagonal-offset shifted accumulate in plain XLA with a
+  custom VJP (transposed band) — the reference form used for tests and
+  small-N CPU work.
 """
 
 from __future__ import annotations
@@ -108,57 +108,6 @@ def transpose_band(band):
     return jnp.where(valid, out, 0.0)
 
 
-# ---------------------------------------------------------------------------
-# Pallas TPU kernel
-# ---------------------------------------------------------------------------
-
-def _banded_matvec_kernel(band_ref, x_ref, out_ref):
-    """One (batch) program: band (2b+1, N), x (1, N) -> y (1, N).
-
-    The shifted accumulate runs on the VPU; diagonals stream from VMEM.
-    """
-    two_b1 = band_ref.shape[0]
-    N = band_ref.shape[1]
-    b = (two_b1 - 1) // 2
-    x = x_ref[0, :]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)[0]
-
-    def body(j, acc):
-        k = j - b
-        # x shifted by k with zero fill (pltpu.roll wraps; mask the wrap)
-        xs = jnp.roll(x, -k)
-        valid = (idx + k >= 0) & (idx + k < N)
-        return acc + band_ref[j, :] * jnp.where(valid, xs, 0.0)
-
-    acc = jnp.zeros_like(x)
-    acc = jax.lax.fori_loop(0, two_b1, body, acc)
-    out_ref[0, :] = acc
-
-
-def _banded_matvec_pallas(band, x):
-    """Batched banded matvec: band (B, 2b+1, N), x (B, N) -> (B, N)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    B, two_b1, N = band.shape
-    return pl.pallas_call(
-        _banded_matvec_kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, two_b1, N), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, N), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
-    )(band.reshape(B, two_b1, N), x)
-
-
-def _use_pallas():
-    return jax.default_backend() == "tpu"
-
-
 @jax.custom_vjp
 def banded_matvec(band, x):
     """y = A @ x with A in banded storage.
@@ -174,11 +123,7 @@ def _banded_matvec_impl(band, x):
     two_b1, N = band.shape[-2], band.shape[-1]
     bandf = jnp.broadcast_to(band, lead + (two_b1, N)).reshape(-1, two_b1, N)
     xf = jnp.broadcast_to(x, lead + (N,)).reshape(-1, N)
-    if _use_pallas():
-        # kernel wants >= 2D blocks; Pallas path
-        yf = _banded_matvec_pallas(bandf, xf)
-    else:
-        yf = _banded_matvec_xla(bandf, xf)
+    yf = _banded_matvec_xla(bandf, xf)
     return yf.reshape(lead + (N,))
 
 
@@ -223,3 +168,76 @@ banded_matvec.defvjp(_banded_matvec_fwd, _banded_matvec_bwd)
 def banded_quadratic_form(band, x):
     """x^T A x summed over all leading (batch) axes; A in banded storage."""
     return jnp.sum(x * banded_matvec(band, x))
+
+
+# ---------------------------------------------------------------------------
+# Block-banded form — the MXU-native path
+# ---------------------------------------------------------------------------
+#
+# Diagonal-offset banded matvecs are VPU work with unaligned shifted reads,
+# which Mosaic cannot express on TPU (dynamic lane-slices must be
+# 128-aligned). The TPU-right layout is BLOCK-banded: partition rows into
+# T=128 tiles; a half-bandwidth b touches hw = ceil(b/T) neighbor tiles each
+# side, so A becomes (nb, 2hw+1, T, T) dense tiles and the matvec is ONE
+# batched (T, T) @ (T,) einsum on the MXU. ~2x the MACs of diagonal storage
+# at ~25x the throughput, natively differentiable (pure gather-free jnp at
+# apply time), O(N * (2hw+1) * T) memory.
+
+
+def banded_to_blocks(band, T: int = 128):
+    """(..., 2b+1, N) diagonal storage -> (..., nb, nw, T, T) block tiles.
+
+    block[q, s, r, c] = A[q*T + r, (q + s - hw)*T + c]; zero outside the
+    band/matrix. Setup-time conversion (gathers are fine here).
+    """
+    band = jnp.asarray(band)
+    two_b1, N = band.shape[-2], band.shape[-1]
+    b = (two_b1 - 1) // 2
+    hw = -(-b // T)  # ceil
+    nw = 2 * hw + 1
+    nb = -(-N // T)
+
+    q = jnp.arange(nb)[:, None, None, None]
+    s = jnp.arange(nw)[None, :, None, None]
+    r = jnp.arange(T)[None, None, :, None]
+    c = jnp.arange(T)[None, None, None, :]
+    i = q * T + r                       # global row
+    j = (q + s - hw) * T + c            # global col
+    k = j - i
+    valid = (jnp.abs(k) <= b) & (i < N) & (j >= 0) & (j < N)
+    diag_idx = jnp.clip(b + k, 0, two_b1 - 1)
+    row_idx = jnp.clip(i, 0, N - 1)
+    blocks = band[..., diag_idx, row_idx]
+    return jnp.where(valid, blocks, 0.0)
+
+
+def block_banded_matvec(blocks, x):
+    """y = A @ x with A in block-banded storage.
+
+    blocks: (..., nb, nw, T, T); x: (..., N) with broadcastable leading
+    dims; N <= nb*T (zero-padded internally). Pure einsum + pad/slice —
+    rides the MXU and differentiates natively.
+    """
+    blocks = jnp.asarray(blocks)
+    x = jnp.asarray(x)
+    nb, nw, T = blocks.shape[-4], blocks.shape[-3], blocks.shape[-2]
+    hw = (nw - 1) // 2
+    N = x.shape[-1]
+
+    lead = jnp.broadcast_shapes(blocks.shape[:-4], x.shape[:-1])
+    blocks = jnp.broadcast_to(blocks, lead + blocks.shape[-4:])
+    x = jnp.broadcast_to(x, lead + (N,))
+
+    pad_tail = nb * T - N
+    widths = [(0, 0)] * (x.ndim - 1) + [(hw * T, pad_tail + hw * T)]
+    xp = jnp.pad(x, widths)
+    xb = xp.reshape(lead + (nb + 2 * hw, T))
+    windows = jnp.stack(
+        [xb[..., s : s + nb, :] for s in range(nw)], axis=-2
+    )  # (..., nb, nw, T)
+    y = jnp.einsum("...qsrc,...qsc->...qr", blocks, windows)
+    return y.reshape(lead + (nb * T,))[..., :N]
+
+
+def block_banded_quadratic_form(blocks, x):
+    return jnp.sum(x * block_banded_matvec(blocks, x))

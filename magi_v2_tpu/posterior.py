@@ -83,15 +83,15 @@ def make_posterior_data(
 
 
 class BandedPosteriorData(NamedTuple):
-    """PosteriorData variant with precision operators in banded storage
-    (D, 2b+1, N_I) — O(N_I*b) matvecs and memory instead of O(N_I^2)
-    (ops/banded.py; the reference's bandsize option keeps banded matrices
-    dense, magi_v2.py:271-274)."""
+    """PosteriorData variant with precision operators in BLOCK-banded
+    storage (D, nb, nw, 128, 128) — O(N_I*b) matvecs on the MXU instead of
+    O(N_I^2) (ops/banded.py; the reference's bandsize option keeps banded
+    matrices dense, magi_v2.py:271-274)."""
 
     I: jax.Array
-    C_invs: jax.Array       # (D, 2b+1, N_I)
-    m_ds: jax.Array         # (D, 2b+1, N_I)
-    K_invs: jax.Array       # (D, 2b+1, N_I)
+    C_blocks: jax.Array     # (D, nb, nw, T, T)
+    m_blocks: jax.Array
+    K_blocks: jax.Array
     mu_ds: jax.Array
     beta: jax.Array
     N_ds: jax.Array
@@ -102,14 +102,15 @@ class BandedPosteriorData(NamedTuple):
 
 
 def to_banded_data(data: PosteriorData, bandwidth: int) -> BandedPosteriorData:
-    """Convert dense PosteriorData to banded storage with half-bandwidth b."""
-    from magi_v2_tpu.ops.banded import dense_to_banded
+    """Convert dense PosteriorData to block-banded storage, half-bandwidth b."""
+    from magi_v2_tpu.ops.banded import banded_to_blocks, dense_to_banded
 
+    to_blocks = lambda A: banded_to_blocks(dense_to_banded(A, bandwidth))
     return BandedPosteriorData(
         I=data.I,
-        C_invs=dense_to_banded(data.C_invs, bandwidth),
-        m_ds=dense_to_banded(data.m_ds, bandwidth),
-        K_invs=dense_to_banded(data.K_invs, bandwidth),
+        C_blocks=to_blocks(data.C_invs),
+        m_blocks=to_blocks(data.m_ds),
+        K_blocks=to_blocks(data.K_invs),
         mu_ds=data.mu_ds,
         beta=data.beta,
         N_ds=data.N_ds,
@@ -159,11 +160,11 @@ def log_posterior_given_t1(
     X_cent = (X - data.mu_ds[None, :]).T
 
     if isinstance(data, BandedPosteriorData):
-        from magi_v2_tpu.ops.banded import banded_matvec
+        from magi_v2_tpu.ops.banded import block_banded_matvec
 
         f_vals = f_vec(data.I, X, thetas).T
-        resid = f_vals - banded_matvec(data.m_ds, X_cent)
-        t2 = jnp.sum(resid * banded_matvec(data.K_invs, resid))
+        resid = f_vals - block_banded_matvec(data.m_blocks, X_cent)
+        t2 = jnp.sum(resid * block_banded_matvec(data.K_blocks, resid))
     else:
         f_vals = f_vec(data.I, X, thetas).T
         resid = f_vals - jnp.einsum("dnm,dm->dn", data.m_ds, X_cent)
@@ -205,13 +206,13 @@ def log_posterior(
     X_cent = (X - data.mu_ds[None, :]).T
 
     if isinstance(data, BandedPosteriorData):
-        from magi_v2_tpu.ops.banded import banded_matvec
+        from magi_v2_tpu.ops.banded import block_banded_matvec
 
-        # O(N_I*b) banded path (Pallas kernel on TPU)
-        t1 = jnp.sum(X_cent * banded_matvec(data.C_invs, X_cent))
+        # O(N_I*b) block-banded path (batched MXU tiles)
+        t1 = jnp.sum(X_cent * block_banded_matvec(data.C_blocks, X_cent))
         f_vals = f_vec(data.I, X, thetas).T            # (D, N_I)
-        resid = f_vals - banded_matvec(data.m_ds, X_cent)
-        t2 = jnp.sum(resid * banded_matvec(data.K_invs, resid))
+        resid = f_vals - block_banded_matvec(data.m_blocks, X_cent)
+        t2 = jnp.sum(resid * block_banded_matvec(data.K_blocks, resid))
     else:
         # t1: GP prior quadratic forms — batched MXU matvecs, in factored
         # ||R x||^2 form when sqrt factors are present (float32-safe)

@@ -129,3 +129,43 @@ def test_banded_posterior_matches_dense_when_band_covers_matrix():
     g_d = jax.grad(lp_d)(X, s, t, 0.7)
     g_b = jax.grad(lp_b)(X, s, t, 0.7)
     np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_d), rtol=1e-10)
+
+
+def test_block_banded_matches_dense():
+    from magi_v2_tpu.ops.banded import banded_to_blocks, block_banded_matvec
+
+    rng = np.random.default_rng(30)
+    for N, b in [(33, 5), (200, 60), (300, 140)]:
+        A = _random_banded_dense(N, b, seed=N)
+        x = rng.normal(size=(N,))
+        blocks = banded_to_blocks(jnp.asarray(dense_to_banded(A, b)))
+        y = np.asarray(block_banded_matvec(blocks, jnp.asarray(x)))
+        np.testing.assert_allclose(y, A @ x, rtol=1e-11, atol=1e-12)
+
+
+def test_block_banded_batched_and_grad():
+    from magi_v2_tpu.ops.banded import (
+        banded_to_blocks, block_banded_matvec, block_banded_quadratic_form,
+    )
+
+    rng = np.random.default_rng(31)
+    N, b, D, C = 150, 40, 3, 4
+    A = _random_banded_dense(N, b, seed=7, batch=(D,))
+    blocks = banded_to_blocks(jnp.asarray(dense_to_banded(A, b)))
+    x = jnp.asarray(rng.normal(size=(D, N)))
+    y = np.asarray(block_banded_matvec(blocks, x))
+    np.testing.assert_allclose(y, np.einsum("dnm,dm->dn", A, np.asarray(x)),
+                               rtol=1e-11)
+    # vmap over chains
+    xs = jnp.asarray(rng.normal(size=(C, D, N)))
+    ys = np.asarray(jax.vmap(lambda xx: block_banded_matvec(blocks, xx))(xs))
+    np.testing.assert_allclose(
+        ys, np.einsum("dnm,cdm->cdn", A, np.asarray(xs)), rtol=1e-11
+    )
+    # gradient: symmetric A -> grad of quad form = 2 A x
+    As = A + np.swapaxes(A, -1, -2)
+    blocks_s = banded_to_blocks(jnp.asarray(dense_to_banded(As, b)))
+    g = jax.grad(lambda xx: block_banded_quadratic_form(blocks_s, xx))(x)
+    np.testing.assert_allclose(np.asarray(g),
+                               2 * np.einsum("dnm,dm->dn", As, np.asarray(x)),
+                               rtol=1e-10)
