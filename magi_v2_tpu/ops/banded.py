@@ -214,29 +214,43 @@ def banded_to_blocks(band, T: int = 128):
 def block_banded_matvec(blocks, x):
     """y = A @ x with A in block-banded storage.
 
-    blocks: (..., nb, nw, T, T); x: (..., N) with broadcastable leading
-    dims; N <= nb*T (zero-padded internally). Pure einsum + pad/slice —
-    rides the MXU and differentiates natively.
+    blocks: (*B, nb, nw, T, T); x: (*E, *B, N) — extra leading dims *E
+    (e.g. chains) become GEMM free dimensions. N <= nb*T (zero-padded
+    internally). Pure einsum + pad/slice — rides the MXU and
+    differentiates natively.
+
+    Performance note: the blocks must NOT be broadcast across *E — keeping
+    them chain-free lets XLA contract (s, t) as one (T, nw*T) x (nw*T, E)
+    GEMM per (batch, tile); a broadcast version measured 7x slower (batched
+    matvecs instead of GEMMs).
     """
     blocks = jnp.asarray(blocks)
     x = jnp.asarray(x)
     nb, nw, T = blocks.shape[-4], blocks.shape[-3], blocks.shape[-2]
     hw = (nw - 1) // 2
     N = x.shape[-1]
-
-    lead = jnp.broadcast_shapes(blocks.shape[:-4], x.shape[:-1])
-    blocks = jnp.broadcast_to(blocks, lead + blocks.shape[-4:])
-    x = jnp.broadcast_to(x, lead + (N,))
+    B = blocks.shape[:-4]
+    nB = len(B)
+    E = x.shape[: x.ndim - 1 - nB]
+    if x.shape[x.ndim - 1 - nB : -1] != B:
+        x = jnp.broadcast_to(x, E + B + (N,))
 
     pad_tail = nb * T - N
     widths = [(0, 0)] * (x.ndim - 1) + [(hw * T, pad_tail + hw * T)]
     xp = jnp.pad(x, widths)
-    xb = xp.reshape(lead + (nb + 2 * hw, T))
+    xb = xp.reshape(E + B + (nb + 2 * hw, T))
     windows = jnp.stack(
         [xb[..., s : s + nb, :] for s in range(nw)], axis=-2
-    )  # (..., nb, nw, T)
-    y = jnp.einsum("...qsrc,...qsc->...qr", blocks, windows)
-    return y.reshape(lead + (nb * T,))[..., :N]
+    )  # (*E, *B, nb, nw, T)
+
+    # flatten *E into one GEMM free axis 'c'
+    cdim = 1
+    for e in E:
+        cdim *= e
+    windows_f = windows.reshape((cdim,) + B + (nb, nw, T))
+    y = jnp.einsum("...qsrt,c...qst->c...qr", blocks, windows_f)
+    y = y.reshape(E + B + (nb * T,))
+    return y[..., :N]
 
 
 def block_banded_quadratic_form(blocks, x):
