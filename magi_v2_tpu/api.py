@@ -147,10 +147,15 @@ class MAGI_v2:
         device (the reference loops per component on the host,
         magi_v2.py:122-128).
         """
+        from magi_v2_tpu.ops.kernels import uniform_spacing
+
         I = jnp.asarray(self.I.reshape(-1))
+        h = uniform_spacing(self.I)
 
         def per_comp(phi1, phi2):
-            C, m, K = magi_kernel_matrices(I, phi1, phi2, self.config.matern_nu)
+            C, m, K = magi_kernel_matrices(
+                I, phi1, phi2, self.config.matern_nu, spacing=h
+            )
             return sym_pinv(C), m, sym_pinv(K)
 
         C_invs, m_ds, K_invs = jax.jit(jax.vmap(per_comp))(

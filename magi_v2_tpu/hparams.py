@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from magi_v2_tpu.ops.kernels import matern_gram
+from magi_v2_tpu.ops.kernels import matern_gram, matern_gram_uniform, uniform_spacing
 from magi_v2_tpu.posterior import softplus, softplus_inverse
 
 
@@ -97,8 +97,13 @@ def make_hparam_objective(I, X_filled, prior: FourierPrior, nu: float,
         phi2s = softplus(params["phi2_pre"])
         sigma_sqs = softplus(params["sigma_sq_pre"])
 
+        h = uniform_spacing(I)
+
         def per_component(phi1, phi2, sigma_sq, y, mu):
-            gram = matern_gram(I, phi1, phi2, nu)
+            if h is not None:
+                gram = matern_gram_uniform(n, h, phi1, phi2, nu)
+            else:
+                gram = matern_gram(I, phi1, phi2, nu)
             cov = gram + (sigma_sq + jitter) * eye
             chol = jnp.linalg.cholesky(cov)
             return _gp_marginal_loglik(chol, y - mu, sigma_sq, n)

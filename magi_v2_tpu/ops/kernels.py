@@ -110,8 +110,74 @@ def matern_derivative_matrices(I, phi1, phi2, v: float = 2.01):
     return kappa, dkappa_ds, kappa_pp
 
 
-def magi_kernel_matrices(I, phi1, phi2, v: float = 2.01):
+def uniform_spacing(I) -> float | None:
+    """Host-side check: return the spacing h if grid I is uniform, else None.
+
+    On a uniform grid |s - t| takes only N distinct values, so the Matern
+    matrices are (anti)symmetric Toeplitz: computing the Bessel ladder on
+    one row and gathering is ~N times cheaper than the full pairwise build
+    (measured: the GP MLE was 93% of initial_fit wall time at N_I = 513).
+    """
+    import numpy as np
+
+    s = np.asarray(I).reshape(-1)
+    if s.size < 2:
+        return None
+    d = np.diff(s)
+    h = float(d.mean())
+    return h if np.allclose(d, h, rtol=1e-9, atol=1e-12) else None
+
+
+def matern_rows(dists, phi1, phi2, v: float = 2.01):
+    """(kappa, dkappa_ds magnitude, kappa_pp) evaluated on a vector of
+    nonnegative distances; entry where dists == 0 gets the analytic
+    diagonal limits. dkappa_ds is returned for r = +dist (odd in r)."""
+    A = 2.0 ** (1.0 - v) / _scipy_gamma(v)
+    dists = jnp.asarray(dists)
+    off = dists > 0
+    c, l, u, k_vm2, k_vm1, k_v = _ladder_uv(dists, off, phi2, v)
+    u_pow_v = jnp.power(u, v)
+    kappa = jnp.where(off, phi1 * A * u_pow_v * k_v, phi1)
+    dkappa = jnp.where(off, -phi1 * A * c * u_pow_v * k_vm1, 0.0)
+    u_pow_vm1 = jnp.power(u, v - 1.0)
+    diag_pp = v * phi1 / (phi2 ** 2 * (v - 1.0))
+    kappa_pp = jnp.where(
+        off, phi1 * A * c ** 2 * (u_pow_vm1 * k_vm1 - u_pow_v * k_vm2),
+        diag_pp,
+    )
+    return kappa, dkappa, kappa_pp
+
+
+def _toeplitz(row, sign_row=False):
+    n = row.shape[0]
+    i = jnp.arange(n)[:, None]
+    j = jnp.arange(n)[None, :]
+    out = jnp.take(row, jnp.abs(i - j))
+    if sign_row:
+        out = out * jnp.sign(i - j)
+    return out
+
+
+def matern_gram_uniform(n: int, h, phi1, phi2, v: float = 2.01):
+    """Matern Gram on a uniform grid of n points with spacing h (Toeplitz)."""
+    kappa_row, _, _ = matern_rows(h * jnp.arange(n), phi1, phi2, v)
+    return _toeplitz(kappa_row)
+
+
+def matern_derivative_matrices_uniform(n: int, h, phi1, phi2, v: float = 2.01):
+    """(Kappa, dKappa/ds, d2Kappa/dsdt) on a uniform grid — one Bessel row
+    + Toeplitz gathers. dKappa/ds(r) is odd in r = s - t; the row is
+    evaluated at r = +dist and the sign pattern applied per entry."""
+    kr, dr, pr = matern_rows(h * jnp.arange(n), phi1, phi2, v)
+    return _toeplitz(kr), _toeplitz(dr, sign_row=True), _toeplitz(pr)
+
+
+def magi_kernel_matrices(I, phi1, phi2, v: float = 2.01,
+                         spacing: float | None = None):
     """(C, m, K) for one component — the MAGI conditioning matrices.
+
+    Pass ``spacing`` (from uniform_spacing(I)) to use the ~N-times-cheaper
+    Toeplitz build on uniform grids.
 
     With 'C = dKappa/ds and C' = dKappa/dt = -'C (antisymmetry in s-t):
 
@@ -126,7 +192,13 @@ def magi_kernel_matrices(I, phi1, phi2, v: float = 2.01):
     """
     from magi_v2_tpu.ops.linalg import sym_pinv
 
-    kappa, dkappa_ds, kappa_pp = matern_derivative_matrices(I, phi1, phi2, v)
+    if spacing is not None:
+        n = jnp.asarray(I).reshape(-1).shape[0]
+        kappa, dkappa_ds, kappa_pp = matern_derivative_matrices_uniform(
+            n, spacing, phi1, phi2, v
+        )
+    else:
+        kappa, dkappa_ds, kappa_pp = matern_derivative_matrices(I, phi1, phi2, v)
     kappa_inv = sym_pinv(kappa)
     m = dkappa_ds @ kappa_inv
     K = kappa_pp + m @ dkappa_ds

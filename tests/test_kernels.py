@@ -138,3 +138,37 @@ def test_band_part_matches_tf_semantics():
                 expect[i, j] = 0.0
     np.testing.assert_allclose(out, expect)
     np.testing.assert_allclose(np.asarray(band_part(a, -1, -1)), np.asarray(a))
+
+
+def test_uniform_toeplitz_matches_general(grid):
+    """Toeplitz fast path == general pairwise build on a uniform grid."""
+    from magi_v2_tpu.ops.kernels import (
+        magi_kernel_matrices,
+        matern_derivative_matrices,
+        matern_derivative_matrices_uniform,
+        uniform_spacing,
+    )
+
+    h = uniform_spacing(grid)
+    assert h is not None
+    n = len(grid)
+    I = jnp.asarray(grid)
+    for phi1, phi2 in [(1.0, 0.5), (2.3, 1.1)]:
+        ref = matern_derivative_matrices(I, phi1, phi2, V)
+        fast = matern_derivative_matrices_uniform(n, h, phi1, phi2, V)
+        for a, b in zip(fast, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12, atol=1e-13)
+    C1, m1, K1 = magi_kernel_matrices(I, 1.0, 0.7, V)
+    C2, m2, K2 = magi_kernel_matrices(I, 1.0, 0.7, V, spacing=h)
+    np.testing.assert_allclose(np.asarray(C2), np.asarray(C1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(K2), np.asarray(K1), rtol=1e-9, atol=1e-9)
+
+
+def test_uniform_spacing_detection():
+    from magi_v2_tpu.ops.kernels import uniform_spacing
+
+    assert uniform_spacing(np.linspace(0, 1, 11)) is not None
+    assert uniform_spacing(np.array([0.0, 0.1, 0.3])) is None
+    assert uniform_spacing(np.array([0.0])) is None
