@@ -20,3 +20,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: the NUTS/scan graphs dominate CI wall time
+# and are identical across runs
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.magi_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
