@@ -335,6 +335,7 @@ class MAGI_v2:
         algorithm: str = "nuts",
         hmc_num_leapfrogs: int = 64,
         anneal_mode: str = "reference",
+        matmul_precision: str = "highest",
     ):
         """Sample the posterior with annealed NUTS. Reference
         magi_v2.py:286-425; extensions: num_chains (vmapped chains),
@@ -517,6 +518,7 @@ class MAGI_v2:
             algorithm=algorithm,
             hmc_num_leapfrogs=hmc_num_leapfrogs,
             anneal_mode=anneal_mode,
+            matmul_precision=matmul_precision,
         )
 
         if verbose:

@@ -77,6 +77,10 @@ class SamplerConfig(NamedTuple):
     algorithm: str = "nuts"
     hmc_num_leapfrogs: int = 64    # max leapfrogs per HMC step
     hmc_jitter: bool = True        # jitter length per step (shared by chains)
+    # f32 matmul precision: "highest" (6 bf16 passes, ~f32-exact) or "high"
+    # (3 passes). bf16 default ("default") collapses NUTS acceptance — see
+    # run_nuts_chains docstring.
+    matmul_precision: str = "highest"
 
 
 _CALLBACKS_SUPPORTED: bool | None = None
@@ -185,7 +189,7 @@ def run_nuts_chains(
     collapses NUTS acceptance (measured). HIGHEST costs ~6 bf16 passes on
     matmuls that are a small fraction of the leapfrog anyway.
     """
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(config.matmul_precision):
         return _run_nuts_chains_impl(tempered_logp_grad, q0, key, config)
 
 
