@@ -1,4 +1,4 @@
-"""Benchmark: ESS/sec on the SEIR posterior with 256 vmapped NUTS chains.
+"""Benchmark: ESS/sec on the SEIR posterior with 256 vmapped HMC chains.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
