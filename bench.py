@@ -32,7 +32,7 @@ def main():
     # support; harmless elsewhere)
     try:
         jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.magi_jax_cache"))
+                          os.path.expanduser("~/.magi_jax_cache_axon"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

@@ -22,8 +22,11 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # persistent compilation cache: the NUTS/scan graphs dominate CI wall time
 # and are identical across runs
+# NOTE: separate dir from bench.py — axon-process compiles route through a
+# remote compiler whose CPU artifacts carry different machine features
+# (observed "could lead to SIGILL" loader warnings when shared)
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.expanduser("~/.magi_jax_cache"),
+    os.path.expanduser("~/.magi_jax_cache_cpu"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
