@@ -24,6 +24,13 @@ z = L^{-1}(x - mu) with L = Lambda^{-1/2} makes the entire quadratic
 structure of the posterior ~unit curvature; only the deviation of f from
 its linearization remains. The map is linear and fixed, so the posterior
 over X is IDENTICAL. Cost: one (N*D)^2 assembly + one (N*D) eigh at setup.
+
+Scaling note: L = Lambda^{-1/2} is stored dense (ND x ND), so each leapfrog
+pays an O((ND)^2) matvec — fine through N_I ~ 1k (38 MB f32 at N_I=1025,
+D=3) but dominant beyond. Lambda itself is block-banded (bandwidth ~ the
+kernel bandsize), so a banded Cholesky factor with banded triangular solves
+would cut this to O(ND * b); future work — at large N_I use
+reparam='centered' with storage='banded' instead.
 """
 
 from __future__ import annotations
