@@ -61,6 +61,10 @@ def main():
     res = model.predict(
         num_results=steps, num_burnin_steps=steps,
         num_chains=args.chains, verbose=True, seed=0, init_jitter=0.05,
+        # bounded-leapfrog lockstep HMC: predictable dispatch durations at
+        # this state dimension (NUTS depth-10 trees can exceed the TPU
+        # tunnel's dispatch limit)
+        algorithm="hmc", hmc_num_leapfrogs=64,
     )
     wall = time.time() - t0
     theta = res["thetas_samps"]

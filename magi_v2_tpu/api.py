@@ -127,18 +127,23 @@ class MAGI_v2:
                 stack.enter_context(jax.enable_x64(True))
         return stack
 
-    @staticmethod
-    def _auto_dispatch_block(requested):
+    def _auto_dispatch_block(self, requested):
         """Pick a dispatch block size: explicit value wins; on the axon TPU
         tunnel (which kills multi-minute single dispatches with
-        UNAVAILABLE) default to 50-step blocks; elsewhere single dispatch."""
+        UNAVAILABLE) default to 50-step blocks scaled down for large state
+        dimensions (leapfrog cost grows ~dim^2 under the dense whitening, so
+        a fixed block would exceed the dispatch limit — observed a worker
+        crash at dim=3081 with 50-step blocks); elsewhere single dispatch."""
         if requested is not None:
             return requested
         try:
             version = jax.devices()[0].client.platform_version
         except Exception:
             version = ""
-        return 50 if "axon" in version.lower() else 0
+        if "axon" not in version.lower():
+            return 0
+        dim = self.mag_I * self.D + self.D + self.D_thetas
+        return max(4, min(50, int(50 * (512.0 / dim) ** 2)))
 
     def _build_inverse_matrices(self, phi1s, phi2s):
         """Batched (C^{-1}, m, K^{-1}) for a set of components.
