@@ -546,17 +546,24 @@ class MAGI_v2:
         X_samps, sigma_pre_samps, theta_pre_samps = unflatten_samples(
             samples, self.mag_I, self.D, self.D_thetas
         )
-        if reparam == "precond":
-            # map z samples back to trajectories: X = mu + L z
+        if reparam in ("precond", "whitened"):
+            # map z samples back to trajectories: X = mu + L z — chunked
+            # over draws: one full-batch dispatch at large N_I exceeds the
+            # axon tunnel's dispatch limit (observed hang at N_I=1025)
+            unw = unwhiten_Z_full if reparam == "precond" else unwhiten_Z
             with jax.default_matmul_precision("highest"):
-                X_samps = jax.jit(
-                    lambda Z: unwhiten_Z_full(Z, data.mu_ds, L)
-                )(X_samps)
-        elif reparam == "whitened":
-            with jax.default_matmul_precision("highest"):
-                X_samps = jax.jit(
-                    lambda Z: unwhiten_Z(Z, data.mu_ds, L)
-                )(X_samps)
+                f_unw = jax.jit(lambda Z: unw(Z, data.mu_ds, L))
+                # ~5e11 FLOP per dispatch (~seconds at f32-highest)
+                chunk = max(
+                    1, int(5e11 // max(1, 2 * num_chains * L.size))
+                )
+                X_samps = np.concatenate(
+                    [
+                        np.asarray(f_unw(X_samps[i : i + chunk]))
+                        for i in range(0, X_samps.shape[0], chunk)
+                    ],
+                    axis=0,
+                )
         squeeze = num_chains == 1
 
         def maybe_squeeze(a):

@@ -1,5 +1,5 @@
 """Banded precision operators: storage, conversion, and matvec/quadratic
-forms with O(N*b) cost — Pallas TPU kernel with an XLA fallback.
+forms with O(N*b) cost — MXU block-banded tiles with a diagonal-form XLA fallback.
 
 The reference's ``bandsize`` option truncates C^{-1}, K^{-1}, m to a band but
 keeps storing and multiplying them DENSE (magi_v2.py:271-274; SURVEY.md §5),
@@ -22,7 +22,7 @@ Two apply paths:
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +46,6 @@ def dense_to_banded(A, bandwidth: int):
     for k in range(-b, b + 1):
         diag = jnp.diagonal(A, offset=k, axis1=-2, axis2=-1)
         # diag has length N - |k|; pad so that entry i corresponds to row i
-        pad_before = max(0, -k) * 0 if k >= 0 else 0
         if k >= 0:
             pad = (0, k)
         else:
@@ -118,7 +117,6 @@ def banded_matvec(band, x):
 
 
 def _banded_matvec_impl(band, x):
-    band_b, x_b = jnp.broadcast_shapes(band.shape[:-2], x.shape[:-1]), None
     lead = jnp.broadcast_shapes(band.shape[:-2], x.shape[:-1])
     two_b1, N = band.shape[-2], band.shape[-1]
     bandf = jnp.broadcast_to(band, lead + (two_b1, N)).reshape(-1, two_b1, N)
