@@ -552,14 +552,17 @@ class MAGI_v2:
             # axon tunnel's dispatch limit (observed hang at N_I=1025)
             unw = unwhiten_Z_full if reparam == "precond" else unwhiten_Z
             with jax.default_matmul_precision("highest"):
-                f_unw = jax.jit(lambda Z: unw(Z, data.mu_ds, L))
+                # L passed as an argument, NOT closed over: a closure bakes
+                # the (ND)^2 factor into the executable as a constant
+                f_unw = jax.jit(lambda Z, mu, LL: unw(Z, mu, LL))
                 # ~5e11 FLOP per dispatch (~seconds at f32-highest)
                 chunk = max(
                     1, int(5e11 // max(1, 2 * num_chains * L.size))
                 )
                 X_samps = np.concatenate(
                     [
-                        np.asarray(f_unw(X_samps[i : i + chunk]))
+                        np.asarray(f_unw(X_samps[i : i + chunk],
+                                          data.mu_ds, L))
                         for i in range(0, X_samps.shape[0], chunk)
                     ],
                     axis=0,
