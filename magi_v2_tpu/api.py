@@ -599,7 +599,11 @@ class MAGI_v2:
                 "divergences": np.asarray(stats.divergences),
                 "depths": np.asarray(stats.depths),
             },
-            "sample_results": np.asarray(samples),
+            # raw flat draws (reference parity, magi_v2.py:421); omitted
+            # above 1 GB — X/sigma/theta samples already carry everything
+            "sample_results": (
+                np.asarray(samples) if samples.nbytes <= 1 << 30 else None
+            ),
             "minutes_elapsed": minutes,
         }
 
