@@ -13,6 +13,7 @@ def main():
     ap.add_argument("--chains", type=int, default=256)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--algorithm", default="hmc", choices=["hmc", "nuts"])
     args = ap.parse_args()
 
     import jax
@@ -64,7 +65,7 @@ def main():
         # bounded-leapfrog lockstep HMC: predictable dispatch durations at
         # this state dimension (NUTS depth-10 trees can exceed the TPU
         # tunnel's dispatch limit)
-        algorithm="hmc", hmc_num_leapfrogs=64,
+        algorithm=args.algorithm, hmc_num_leapfrogs=64,
     )
     wall = time.time() - t0
     theta = res["thetas_samps"]
