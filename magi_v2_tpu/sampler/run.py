@@ -246,6 +246,43 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
     else:
         raise ValueError(f"unknown algorithm {config.algorithm!r}")
 
+    def find_reasonable_step_size(q0_row, key, inv_mass, beta_temp):
+        """Hoffman-Gelman Algorithm 4: double/halve eps until the one-leapfrog
+        acceptance crosses 1/2. Without this, a fixed initial eps that is far
+        too large for the state dimension sends dual averaging into a deep
+        overshoot it cannot recover from within the adaptation window
+        (measured: eps -> 1e-30 and frozen chains at dim 3081)."""
+        logp0, grad0 = tempered_logp_grad(q0_row, beta_temp)
+        p0 = jax.random.normal(key, q0_row.shape, dtype) / jnp.sqrt(inv_mass)
+        H0 = -logp0 + 0.5 * jnp.sum(p0 * p0 * inv_mass)
+
+        def log_accept(eps):
+            p_half = p0 + 0.5 * eps * grad0
+            q1 = q0_row + eps * p_half * inv_mass
+            logp1, grad1 = tempered_logp_grad(q1, beta_temp)
+            p1 = p_half + 0.5 * eps * grad1
+            H1 = -logp1 + 0.5 * jnp.sum(p1 * p1 * inv_mass)
+            dH = jnp.where(jnp.isfinite(H1), H1 - H0, jnp.inf)
+            return -dH
+
+        eps0 = jnp.asarray(config.initial_step_size, dtype)
+        la0 = log_accept(eps0)
+        direction = jnp.where(la0 > jnp.log(0.5), 1.0, -1.0).astype(dtype)
+
+        def cond(c):
+            eps, la, it = c
+            return (direction * la > direction * jnp.log(0.5)) & (it < 40)
+
+        def body(c):
+            eps, _, it = c
+            eps = eps * jnp.exp2(direction)
+            return eps, log_accept(eps), it + 1
+
+        eps, _, _ = jax.lax.while_loop(
+            cond, body, (eps0, la0, jnp.asarray(0, jnp.int32))
+        )
+        return eps
+
     progress_every = config.progress_every
     if progress_every and not _callbacks_supported():
         progress_every = 0
@@ -357,9 +394,13 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
         return out
 
     # --- warmup: blocks of steps, state carried across dispatches
-    da0 = _da_init(config.initial_step_size, dtype)
-    welford0 = _welford_init(dim, dtype)
     inv_mass0 = jnp.ones(dim, dtype)
+    key, key_eps = jax.random.split(key)
+    eps_init = jax.jit(find_reasonable_step_size)(
+        q0[0], key_eps, inv_mass0, temp_at(jnp.asarray(0))
+    )
+    da0 = _da_init(eps_init, dtype)
+    welford0 = _welford_init(dim, dtype)
     wcarry = (q0, key, da0, welford0, inv_mass0)
     for start, size in blocks(config.num_burnin_steps):
         wcarry = warmup_blk(wcarry, start + jnp.arange(size))
