@@ -339,7 +339,7 @@ class MAGI_v2:
         dispatch_block_steps: Optional[int] = None,
         algorithm: str = "nuts",
         hmc_num_leapfrogs: int = 64,
-        anneal_mode: str = "reference",
+        anneal_mode: str = "warmup_only",
         matmul_precision: str = "highest",
     ):
         """Sample the posterior with annealed NUTS. Reference

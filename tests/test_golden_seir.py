@@ -71,3 +71,26 @@ def test_trajectory_credible_interval_coverage(seir_results):
     truth = raw["X_true"][np.clip(idx, 0, len(raw["t"]) - 1)]
     covered = ((truth >= lo) & (truth <= hi)).mean()
     assert covered > 0.8, f"95% CI covers only {covered:.0%} of the truth"
+
+
+def test_fitzhugh_nagumo_recovery():
+    """FN fully-observed benchmark (BASELINE.json configs[1]): theta within
+    tolerance of truth under the default (warmup-only annealed) posterior."""
+    from magi_v2_tpu import MAGI_v2
+    from magi_v2_tpu.models import fitzhugh_nagumo_f_vec
+    from magi_v2_tpu.utils.data import simulate_ode
+
+    true = np.array([0.2, 0.2, 3.0])
+    ts, X_obs, _ = simulate_ode(
+        fitzhugh_nagumo_f_vec, x0=np.array([-1.0, 1.0]), thetas=true,
+        t_max=20.0, n_obs=41, noise_sd=[0.2, 0.1], substeps=100,
+    )
+    model = MAGI_v2(D_thetas=3, ts_obs=ts, X_obs=X_obs, bandsize=None,
+                    f_vec=fitzhugh_nagumo_f_vec)
+    model.initial_fit(discretization=2)
+    res = model.predict(num_results=1000, num_burnin_steps=1000, seed=0,
+                        num_chains=4, init_jitter=0.05)
+    theta = res["thetas_samps"].mean(axis=(0, 1))
+    # a and c tight; b is weakly identified (generous band)
+    np.testing.assert_allclose(theta[[0, 2]], true[[0, 2]], rtol=0.15)
+    assert 0.0 < theta[1] < 0.45
