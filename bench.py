@@ -84,6 +84,10 @@ def main():
         # identical theta recovery and better R-hat (BASELINE_MEASURED.json)
         algorithm="hmc",
         hmc_num_leapfrogs=64,
+        # sample the same (tempered) posterior as the reference so the
+        # vs_baseline ratio compares identical statistical tasks; the
+        # library default is the statistically-sound warmup_only mode
+        anneal_mode="reference",
     )
     wall = time.time() - t0
 
