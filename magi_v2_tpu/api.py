@@ -212,6 +212,7 @@ class MAGI_v2:
                 nu=cfg.matern_nu,
                 learning_rate=cfg.hparam_learning_rate,
                 num_iters=cfg.hparam_num_iters,
+                cholesky_jitter=cfg.cholesky_jitter,
             )
         self.phi1s[self.observed_indicators] = hparams_obs["phi1s"]
         self.phi2s[self.observed_indicators] = hparams_obs["phi2s"]
@@ -277,6 +278,7 @@ class MAGI_v2:
                 nu=cfg.matern_nu,
                 learning_rate=cfg.hparam_learning_rate,
                 num_iters=cfg.hparam_num_iters,
+                cholesky_jitter=cfg.cholesky_jitter,
             )
             self.phi1s[self.unobserved_components] = hparams_unobs["phi1s"]
             self.phi2s[self.unobserved_components] = hparams_unobs["phi2s"]
@@ -389,11 +391,17 @@ class MAGI_v2:
         # Factored precisions R = C^{-1/2}, S = K^{-1/2}, computed in f64:
         # quadratic forms evaluate as ||R x||^2 (float32-safe PSD sums).
         # Eigenvalues below zero (possible after band truncation) clamp to 0.
-        with self._setup_device_ctx():
-            from magi_v2_tpu.ops.linalg import sym_sqrt
+        # Skipped for banded storage, whose data container never consumes the
+        # dense factors (it builds banded Cholesky factors instead) — the two
+        # batched f64 eigh would be O(D * N_I^3) wasted setup at exactly the
+        # grid sizes the banded mode targets.
+        R64 = S64 = None
+        if storage == "dense":
+            with self._setup_device_ctx():
+                from magi_v2_tpu.ops.linalg import sym_sqrt
 
-            R64 = sym_sqrt(jnp.asarray(self.C_d_invs))
-            S64 = sym_sqrt(jnp.asarray(self.K_d_invs))
+                R64 = np.asarray(sym_sqrt(jnp.asarray(self.C_d_invs)))
+                S64 = np.asarray(sym_sqrt(jnp.asarray(self.K_d_invs)))
         data = make_posterior_data(
             self.I,
             self.C_d_invs,
@@ -404,8 +412,8 @@ class MAGI_v2:
             self.obs_index,
             sigma_sqs_LB,
             dtype,
-            C_inv_sqrts=np.asarray(R64),
-            K_inv_sqrts=np.asarray(S64),
+            C_inv_sqrts=R64,
+            K_inv_sqrts=S64,
         )
         if storage == "banded":
             if self.BANDSIZE is None:

@@ -71,8 +71,10 @@ class MagiConfig:
     # Parity mode is float64 (the reference is float64 end to end,
     # magi_v2.py:89,136,226-227). float32 is the TPU-fast mode.
     dtype: jnp.dtype = jnp.float64
-    # Jitter ladder for Cholesky fallback in GP MLE.
-    cholesky_jitter: float = 1e-8
+    # Diagonal jitter added to the GP covariance before Cholesky in the
+    # hyperparameter MLE; 1e-6 mirrors the TFP GaussianProcess default the
+    # reference relies on (magi_v2.py:594-597).
+    cholesky_jitter: float = 1e-6
 
     # --- preprocessing ---
     spline_cv_folds: int = 5             # magi_v2.py:715

@@ -133,6 +133,7 @@ def fit_kernel_hparams(
     nu: float = 2.01,
     learning_rate: float = 0.01,
     num_iters: int = 1000,
+    cholesky_jitter: float = 1e-6,
 ):
     """Fit (phi1s, phi2s, sigma_sqs) for each column of X_filled.
 
@@ -144,7 +145,9 @@ def fit_kernel_hparams(
     the reference's return signature (magi_v2.py:689-691).
     """
     prior = fourier_prior(X_filled)
-    neg_map, params = make_hparam_objective(I, X_filled, prior, nu)
+    neg_map, params = make_hparam_objective(
+        I, X_filled, prior, nu, jitter=cholesky_jitter
+    )
     # eps=1e-7 matches tf_keras Adam's default epsilon (reference optimizer,
     # magi_v2.py:654); optax's default is 1e-8.
     opt = optax.adam(learning_rate, eps=1e-7)

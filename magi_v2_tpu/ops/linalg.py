@@ -1,10 +1,10 @@
-"""Linear-algebra helpers: symmetric pseudo-inverse, jittered Cholesky, banding.
+"""Linear-algebra helpers: symmetric pseudo-inverse, PSD sqrt, banding.
 
 The reference survives near-singular Matern Gram / conditional-covariance
 matrices with dense pinv everywhere (magi_v2.py:126,128,818 — flagged "CAN BE
 OPTIMIZED!!!" by its author). Here: an eigendecomposition-based symmetric
-pinv for parity, plus Cholesky-with-jitter for the fast paths, plus the
-band-truncation used by the reference's ``bandsize`` option
+pinv for parity, a PSD square root for the float32-safe factored quadratic
+forms, plus the band-truncation used by the reference's ``bandsize`` option
 (magi_v2.py:271-274, tf.linalg.band_part semantics).
 """
 
@@ -28,31 +28,6 @@ def sym_pinv(a, rcond: float | None = None):
     cutoff = rcond * jnp.max(jnp.abs(w), axis=-1, keepdims=True)
     w_inv = jnp.where(jnp.abs(w) > cutoff, 1.0 / w, 0.0)
     return (v * w_inv[..., None, :]) @ jnp.swapaxes(v, -1, -2)
-
-
-def cholesky_with_jitter(a, base_jitter: float = 1e-10, num_tries: int = 6):
-    """Cholesky of a PSD matrix, escalating diagonal jitter on failure.
-
-    Used by the GP-hyperparameter MLE where the Gram matrix can be numerically
-    semi-definite for large lengthscales. All-branch lax.cond free: computes
-    the ladder of factorizations and picks the first finite one (cheap at the
-    N_I <= few-thousand sizes MAGI uses; runs once per MLE step).
-    """
-    a = jnp.asarray(a)
-    n = a.shape[-1]
-    eye = jnp.eye(n, dtype=a.dtype)
-    scale = jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1), axis=-1)[..., None, None]
-
-    chol = jnp.linalg.cholesky(a)
-    result = chol
-    ok = jnp.all(jnp.isfinite(chol), axis=(-1, -2), keepdims=True)
-    for k in range(num_tries):
-        jitter = base_jitter * (10.0 ** k) * scale
-        cand = jnp.linalg.cholesky(a + jitter * eye)
-        cand_ok = jnp.all(jnp.isfinite(cand), axis=(-1, -2), keepdims=True)
-        result = jnp.where(ok, result, jnp.where(cand_ok, cand, result))
-        ok = jnp.logical_or(ok, cand_ok)
-    return result
 
 
 def band_part(a, num_lower: int, num_upper: int):

@@ -386,8 +386,14 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
     def sample_blk(carry, draw_idxs):
         return jax.lax.scan(draw_step, carry, draw_idxs)
 
-    def blocks(total):
+    def blocks(total, transitions_per_step=1):
+        """Split ``total`` scan steps into dispatch blocks. The block budget
+        is in TRANSITIONS (the dispatch-duration bound exists because some
+        runtimes kill multi-minute dispatches), so a thinned sampling draw —
+        which runs ``thin`` transitions — consumes thin units of it."""
         B = config.dispatch_block_steps
+        if B > 0 and transitions_per_step > 1:
+            B = max(1, B // transitions_per_step)
         if B <= 0 or B >= total:
             return [(0, total)]
         out = [(s, min(B, total - s)) for s in range(0, total, B)]
@@ -410,7 +416,7 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
     # --- sampling: blocks of draws, samples streamed out per block
     scarry = (qs, key, eps_final, inv_mass)
     sample_chunks, info_chunks = [], []
-    for start, size in blocks(config.num_results):
+    for start, size in blocks(config.num_results, config.thin):
         scarry, (s_blk, i_blk) = sample_blk(scarry, start + jnp.arange(size))
         sample_chunks.append(s_blk)
         info_chunks.append(i_blk)
