@@ -24,6 +24,12 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--algorithm", default="hmc", choices=["hmc", "nuts"])
+    ap.add_argument("--storage", default="dense", choices=["dense", "banded"],
+                    help="banded = O(N_I*b) block-banded operators + banded "
+                         "Gauss-Newton whitening (the large-grid mode)")
+    ap.add_argument("--leapfrogs", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=0,
+                    help="override warmup/sampling steps (default 100 quick/500)")
     ap.add_argument("--n-obs", type=int, default=129,
                     help="observations (disc=2 -> N_I=4*(n-1)+1); 129 -> 513 "
                          "mixes well, 257 -> 1025 is the stress config")
@@ -70,15 +76,16 @@ def main():
     print(f"initial_fit: {time.time()-t0:.1f}s  N_I={model.mag_I}  "
           f"theta_init={model.thetas_init}")
 
-    steps = 100 if args.quick else 500
+    steps = args.steps or (100 if args.quick else 500)
     t0 = time.time()
     res = model.predict(
         num_results=steps, num_burnin_steps=steps,
         num_chains=args.chains, verbose=True, seed=0, init_jitter=0.05,
+        storage=args.storage,
         # bounded-leapfrog lockstep HMC: predictable dispatch durations at
         # this state dimension (NUTS depth-10 trees can exceed the TPU
         # tunnel's dispatch limit)
-        algorithm=args.algorithm, hmc_num_leapfrogs=64,
+        algorithm=args.algorithm, hmc_num_leapfrogs=args.leapfrogs,
     )
     wall = time.time() - t0
     theta = res["thetas_samps"]

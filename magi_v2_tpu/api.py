@@ -127,13 +127,13 @@ class MAGI_v2:
                 stack.enter_context(jax.enable_x64(True))
         return stack
 
-    def _auto_dispatch_block(self, requested):
+    def _auto_dispatch_block(self, requested, storage: str = "dense"):
         """Pick a dispatch block size: explicit value wins; on the axon TPU
         tunnel (which kills multi-minute single dispatches with
-        UNAVAILABLE) default to 50-step blocks scaled down for large state
-        dimensions (leapfrog cost grows ~dim^2 under the dense whitening, so
-        a fixed block would exceed the dispatch limit — observed a worker
-        crash at dim=3081 with 50-step blocks); elsewhere single dispatch."""
+        UNAVAILABLE) default to 50-step blocks scaled down by the leapfrog
+        cost (dim^2 under the dense whitening — a fixed block observed a
+        worker crash at dim=3081; dim*band under banded storage); elsewhere
+        single dispatch."""
         if requested is not None:
             return requested
         try:
@@ -143,7 +143,11 @@ class MAGI_v2:
         if "axon" not in version.lower():
             return 0
         dim = self.mag_I * self.D + self.D + self.D_thetas
-        return max(4, min(50, int(50 * (512.0 / dim) ** 2)))
+        if storage == "banded" and self.BANDSIZE is not None:
+            cost = dim * (2 * self.D * (self.BANDSIZE + 1) + 1)
+        else:
+            cost = dim * dim
+        return max(4, min(50, int(50 * 512.0 ** 2 / cost)))
 
     def _build_inverse_matrices(self, phi1s, phi2s):
         """Batched (C^{-1}, m, K^{-1}) for a set of components.
@@ -270,6 +274,13 @@ class MAGI_v2:
                     self.D_thetas,
                     learning_rate=cfg.init_learning_rate,
                     num_iters=cfg.init_num_iters,
+                    # fitted GP operators of the observed components: the
+                    # multi-start winner is selected by the observed-manifold
+                    # score, not the degeneracy-prone raw GM loss
+                    observed_components=self.observed_components,
+                    m_ds_obs=m_ds,
+                    K_invs_obs=K_invs,
+                    mu_obs=self.mu_ds[self.observed_indicators],
                 )
             )
             hparams_unobs = fit_kernel_hparams(
@@ -391,17 +402,13 @@ class MAGI_v2:
         # Factored precisions R = C^{-1/2}, S = K^{-1/2}, computed in f64:
         # quadratic forms evaluate as ||R x||^2 (float32-safe PSD sums).
         # Eigenvalues below zero (possible after band truncation) clamp to 0.
-        # Skipped for banded storage, whose data container never consumes the
-        # dense factors (it builds banded Cholesky factors instead) — the two
-        # batched f64 eigh would be O(D * N_I^3) wasted setup at exactly the
-        # grid sizes the banded mode targets.
-        R64 = S64 = None
-        if storage == "dense":
-            with self._setup_device_ctx():
-                from magi_v2_tpu.ops.linalg import sym_sqrt
+        # Both storage modes consume them — banded mode band-truncates the
+        # factors (to_banded_data), so the setup eigh is never wasted work.
+        with self._setup_device_ctx():
+            from magi_v2_tpu.ops.linalg import sym_sqrt
 
-                R64 = np.asarray(sym_sqrt(jnp.asarray(self.C_d_invs)))
-                S64 = np.asarray(sym_sqrt(jnp.asarray(self.K_d_invs)))
+            R64 = np.asarray(sym_sqrt(jnp.asarray(self.C_d_invs)))
+            S64 = np.asarray(sym_sqrt(jnp.asarray(self.K_d_invs)))
         data = make_posterior_data(
             self.I,
             self.C_d_invs,
@@ -412,24 +419,54 @@ class MAGI_v2:
             self.obs_index,
             sigma_sqs_LB,
             dtype,
-            C_inv_sqrts=R64,
-            K_inv_sqrts=S64,
+            C_inv_sqrts=R64 if storage == "dense" else None,
+            K_inv_sqrts=S64 if storage == "dense" else None,
         )
         if storage == "banded":
             if self.BANDSIZE is None:
                 raise ValueError("storage='banded' requires a bandsize")
-            if reparam != "centered":
+            if reparam == "whitened":
                 raise ValueError(
-                    "storage='banded' requires reparam='centered' "
-                    "(the whitening factors are dense)"
+                    "storage='banded' supports reparam='precond' (banded "
+                    "Gauss-Newton whitening, the recommended large-grid "
+                    "mode) or 'centered'; the GP-prior whitening factors "
+                    "are dense"
                 )
             from magi_v2_tpu.posterior import to_banded_data
 
-            data = to_banded_data(data, self.BANDSIZE)
+            # band-truncated f64 sqrt factors: quadratic forms evaluate in
+            # factored float32-safe form (raw banded x'Ax collapses f32
+            # acceptance; banded Cholesky of the truncated operators is
+            # not viable — see to_banded_data)
+            data = to_banded_data(
+                data,
+                self.BANDSIZE,
+                C_inv_sqrts_f64=R64,
+                K_inv_sqrts_f64=S64,
+            )
         elif storage != "dense":
             raise ValueError(f"unknown storage mode {storage!r}")
 
-        if reparam == "precond":
+        if reparam == "precond" and storage == "banded":
+            # banded Gauss-Newton whitening: W ~= Lambda^{-1/2} as a banded
+            # factor, applied per leapfrog as one O(ND*b) block-banded MXU
+            # matvec — the large-grid mode (dense factors are O((ND)^2))
+            from magi_v2_tpu.ops.banded import banded_to_blocks
+            from magi_v2_tpu.sampler.precond import (
+                build_gn_whitening_banded,
+                make_tempered_logp_grad_gn_banded,
+                unwhiten_Z_banded,
+                whiten_X_banded,
+            )
+
+            with self._setup_device_ctx():
+                W_band, gn_info = build_gn_whitening_banded(self)
+                W_blocks64 = np.asarray(banded_to_blocks(jnp.asarray(W_band)))
+            W_blocks = jnp.asarray(W_blocks64, dtype)
+            logp_grad = make_tempered_logp_grad_gn_banded(
+                data, self.f_vec, W_blocks, self.mag_I, self.D, self.D_thetas
+            )
+        elif reparam == "precond":
             # full-state Gauss-Newton whitening; factors built host-side in
             # float64 (float32 eigh of the stiff precision is unreliable and
             # measured a TPU kernel fault), then cast to the sampling dtype
@@ -486,11 +523,17 @@ class MAGI_v2:
         theta_pre0 = pre_init(
             self.thetas_init, np.zeros_like(self.thetas_init)
         )
-        X0 = jnp.asarray(self.Xhat_init, dtype)
-        if reparam == "precond":
-            X0 = whiten_X_full(X0, data.mu_ds, L_inv)
-        elif reparam == "whitened":
-            X0 = whiten_X(X0, data.mu_ds, L_inv)
+        if reparam == "precond" and storage == "banded":
+            # host f64 banded triangular solve W z0 = x0 - mu
+            X0 = jnp.asarray(
+                whiten_X_banded(self.Xhat_init, self.mu_ds, W_band), dtype
+            )
+        else:
+            X0 = jnp.asarray(self.Xhat_init, dtype)
+            if reparam == "precond":
+                X0 = whiten_X_full(X0, data.mu_ds, L_inv)
+            elif reparam == "whitened":
+                X0 = whiten_X(X0, data.mu_ds, L_inv)
         q0 = np.asarray(
             flatten_state(
                 X0,
@@ -526,7 +569,7 @@ class MAGI_v2:
             ),
             thin=thin,
             dispatch_block_steps=self._auto_dispatch_block(
-                dispatch_block_steps
+                dispatch_block_steps, storage
             ),
             algorithm=algorithm,
             hmc_num_leapfrogs=hmc_num_leapfrogs,
@@ -555,22 +598,29 @@ class MAGI_v2:
             samples, self.mag_I, self.D, self.D_thetas
         )
         if reparam in ("precond", "whitened"):
-            # map z samples back to trajectories: X = mu + L z — chunked
+            # map z samples back to trajectories: X = mu + W z — chunked
             # over draws: one full-batch dispatch at large N_I exceeds the
             # axon tunnel's dispatch limit (observed hang at N_I=1025)
-            unw = unwhiten_Z_full if reparam == "precond" else unwhiten_Z
+            if reparam == "precond" and storage == "banded":
+                unw, factor = unwhiten_Z_banded, W_blocks
+            elif reparam == "precond":
+                unw, factor = unwhiten_Z_full, L
+            else:
+                unw, factor = unwhiten_Z, L
             with jax.default_matmul_precision("highest"):
-                # L passed as an argument, NOT closed over: a closure bakes
-                # the (ND)^2 factor into the executable as a constant
-                f_unw = jax.jit(lambda Z, mu, LL: unw(Z, mu, LL))
-                # ~5e11 FLOP per dispatch (~seconds at f32-highest)
+                # the factor is passed as an argument, NOT closed over: a
+                # closure bakes it into the executable as a constant
+                f_unw = jax.jit(lambda Z, mu, F: unw(Z, mu, F))
+                # ~5e11 FLOP per dispatch (~seconds at f32-highest);
+                # flops/draw ~ 2 * chains * factor entries for both the
+                # dense matvec and the block-banded einsum
                 chunk = max(
-                    1, int(5e11 // max(1, 2 * num_chains * L.size))
+                    1, int(5e11 // max(1, 2 * num_chains * factor.size))
                 )
                 X_samps = np.concatenate(
                     [
                         np.asarray(f_unw(X_samps[i : i + chunk],
-                                          data.mu_ds, L))
+                                          data.mu_ds, factor))
                         for i in range(0, X_samps.shape[0], chunk)
                     ],
                     axis=0,

@@ -99,13 +99,48 @@ class BandedPosteriorData(NamedTuple):
     not_nan_cols: jax.Array
     y_observed: jax.Array
     sigma_sqs_LB: jax.Array
+    # Optional banded Cholesky factors V, U with C^{-1} ~= V'V, K^{-1} ~= U'U
+    # (upper-triangular, same block-banded storage). When present, t1/t2
+    # evaluate as ||V x||^2 / ||U r||^2 — float32-safe PSD sums, the banded
+    # analog of the dense path's C_inv_sqrts/K_inv_sqrts (the raw x'Ax forms
+    # cancel ~1e8-magnitude terms and destroy f32 energies on TPU).
+    C_sqrt_blocks: jax.Array = None
+    K_sqrt_blocks: jax.Array = None
 
 
-def to_banded_data(data: PosteriorData, bandwidth: int) -> BandedPosteriorData:
-    """Convert dense PosteriorData to block-banded storage, half-bandwidth b."""
+def to_banded_data(
+    data: PosteriorData,
+    bandwidth: int,
+    C_inv_sqrts_f64=None,
+    K_inv_sqrts_f64=None,
+) -> BandedPosteriorData:
+    """Convert dense PosteriorData to block-banded storage, half-bandwidth b.
+
+    When the float64 symmetric PSD square roots R = C^{-1/2}, S = K^{-1/2}
+    (from ops.linalg.sym_sqrt of the band-truncated operators — negative
+    eigenvalues clamped, exactly the dense mode's semantics) are supplied,
+    their band truncations are stored so quadratic forms evaluate in
+    factored float32-safe form ||band(R) x||^2. Banded Cholesky of the
+    band-truncated operators themselves is NOT viable: truncation leaves
+    them severely indefinite at dense-grid sizes (measured: Lorenz
+    N_I=1025, bandsize=100 needs jitter > diag scale), whereas clamping
+    matches what the dense path already does.
+    """
     from magi_v2_tpu.ops.banded import banded_to_blocks, dense_to_banded
 
     to_blocks = lambda A: banded_to_blocks(dense_to_banded(A, bandwidth))
+
+    def factor_blocks(S_f64):
+        from magi_v2_tpu.ops.banded_host import dense_to_banded_np
+
+        bands = np.stack(
+            [
+                dense_to_banded_np(comp, bandwidth)
+                for comp in np.asarray(S_f64, np.float64)
+            ]
+        )
+        return banded_to_blocks(jnp.asarray(bands, data.I.dtype))
+
     return BandedPosteriorData(
         I=data.I,
         C_blocks=to_blocks(data.C_invs),
@@ -118,6 +153,12 @@ def to_banded_data(data: PosteriorData, bandwidth: int) -> BandedPosteriorData:
         not_nan_cols=data.not_nan_cols,
         y_observed=data.y_observed,
         sigma_sqs_LB=data.sigma_sqs_LB,
+        C_sqrt_blocks=(
+            None if C_inv_sqrts_f64 is None else factor_blocks(C_inv_sqrts_f64)
+        ),
+        K_sqrt_blocks=(
+            None if K_inv_sqrts_f64 is None else factor_blocks(K_inv_sqrts_f64)
+        ),
     )
 
 
@@ -164,7 +205,10 @@ def log_posterior_given_t1(
 
         f_vals = f_vec(data.I, X, thetas).T
         resid = f_vals - block_banded_matvec(data.m_blocks, X_cent)
-        t2 = jnp.sum(resid * block_banded_matvec(data.K_blocks, resid))
+        if data.K_sqrt_blocks is not None:
+            t2 = jnp.sum(block_banded_matvec(data.K_sqrt_blocks, resid) ** 2)
+        else:
+            t2 = jnp.sum(resid * block_banded_matvec(data.K_blocks, resid))
     else:
         f_vals = f_vec(data.I, X, thetas).T
         resid = f_vals - jnp.einsum("dnm,dm->dn", data.m_ds, X_cent)
@@ -208,11 +252,19 @@ def log_posterior(
     if isinstance(data, BandedPosteriorData):
         from magi_v2_tpu.ops.banded import block_banded_matvec
 
-        # O(N_I*b) block-banded path (batched MXU tiles)
-        t1 = jnp.sum(X_cent * block_banded_matvec(data.C_blocks, X_cent))
+        # O(N_I*b) block-banded path (batched MXU tiles); factored
+        # ||V x||^2 / ||U r||^2 forms when the banded Cholesky factors are
+        # present (float32-safe — see BandedPosteriorData)
+        if data.C_sqrt_blocks is not None:
+            t1 = jnp.sum(block_banded_matvec(data.C_sqrt_blocks, X_cent) ** 2)
+        else:
+            t1 = jnp.sum(X_cent * block_banded_matvec(data.C_blocks, X_cent))
         f_vals = f_vec(data.I, X, thetas).T            # (D, N_I)
         resid = f_vals - block_banded_matvec(data.m_blocks, X_cent)
-        t2 = jnp.sum(resid * block_banded_matvec(data.K_blocks, resid))
+        if data.K_sqrt_blocks is not None:
+            t2 = jnp.sum(block_banded_matvec(data.K_sqrt_blocks, resid) ** 2)
+        else:
+            t2 = jnp.sum(resid * block_banded_matvec(data.K_blocks, resid))
     else:
         # t1: GP prior quadratic forms — batched MXU matvecs, in factored
         # ||R x||^2 form when sqrt factors are present (float32-safe)

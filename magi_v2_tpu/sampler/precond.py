@@ -25,12 +25,17 @@ structure of the posterior ~unit curvature; only the deviation of f from
 its linearization remains. The map is linear and fixed, so the posterior
 over X is IDENTICAL. Cost: one (N*D)^2 assembly + one (N*D) eigh at setup.
 
-Scaling note: L = Lambda^{-1/2} is stored dense (ND x ND), so each leapfrog
-pays an O((ND)^2) matvec — fine through N_I ~ 1k (38 MB f32 at N_I=1025,
-D=3) but dominant beyond. Lambda itself is block-banded (bandwidth ~ the
-kernel bandsize), so a banded Cholesky factor with banded triangular solves
-would cut this to O(ND * b); future work — at large N_I use
-reparam='centered' with storage='banded' instead.
+Scaling note: the dense factor L = Lambda^{-1/2} costs an O((ND)^2) matvec
+per leapfrog — fine through N_I ~ 1k (38 MB f32 at N_I=1025, D=3) but
+dominant beyond. The BANDED path (build_gn_whitening_banded +
+make_tempered_logp_grad_gn_banded) exploits that Lambda is block-banded
+(bandwidth ~ kernel bandsize x D in the interleaved n*D+d flat index):
+banded Cholesky Lambda ~= U'U on the host, then W = band(U^{-1}) — the
+truncated inverse applied as ONE O(ND*b) block-banded MXU matvec per
+leapfrog (x = mu + W z), with NO sequential triangular solve in the hot
+loop. Any invertible W is an exact reparameterization (linear, constant
+Jacobian); truncation only degrades preconditioning quality, never
+correctness.
 """
 
 from __future__ import annotations
@@ -145,6 +150,184 @@ def unwhiten_Z_full(Z, mu_ds, L):
     zf = Z.reshape(shape[:-2] + (-1,))
     xc = jnp.einsum("ij,...j->...i", L, zf)
     return xc.reshape(shape) + mu_ds
+
+
+# ---------------------------------------------------------------------------
+# Banded Gauss-Newton whitening — the O(ND * b) large-grid path
+# ---------------------------------------------------------------------------
+
+
+def gauss_newton_precision_band(
+    C_invs, m_ds, K_invs, beta, obs_mask, sigma_sqs, J, bw: int,
+    comp_bandwidth: int | None = None,
+):
+    """Banded storage (2*bw+1, N*D) of the Gauss-Newton precision Lambda
+    (same operator as gauss_newton_precision) without forming the dense
+    (ND)^2 matrix — sparse products in O(ND * b^2) host flops.
+
+    Index order matches X.ravel(): flat = n*D + d (interleaved), which is
+    the ordering in which Lambda is banded (cross-component coupling is
+    pointwise in time). ``comp_bandwidth`` bounds the per-component band of
+    C^{-1}/m/K^{-1} read from the (band-truncated) dense inputs.
+    """
+    import scipy.sparse as sp
+
+    C_invs = np.asarray(C_invs, np.float64)
+    m_ds = np.asarray(m_ds, np.float64)
+    K_invs = np.asarray(K_invs, np.float64)
+    J = np.asarray(J, np.float64)
+    D, N = C_invs.shape[0], C_invs.shape[1]
+    ND = N * D
+    b = N - 1 if comp_bandwidth is None else int(min(comp_bandwidth, N - 1))
+
+    def interleaved(mats):
+        """Block-diag over components in interleaved flat order, banded."""
+        rows, cols, vals = [], [], []
+        for d in range(D):
+            for k in range(-b, b + 1):
+                diag = np.diagonal(mats[d], offset=k)
+                if k >= 0:
+                    r = np.arange(N - k)
+                    c = r + k
+                else:
+                    c = np.arange(N + k)
+                    r = c - k
+                rows.append(r * D + d)
+                cols.append(c * D + d)
+                vals.append(diag)
+        return sp.csr_matrix(
+            (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+            shape=(ND, ND),
+        )
+
+    # dr/dX = J_blockdiag - m_blockdiag  (see gauss_newton_precision docstring)
+    J_sp = sp.bsr_matrix(
+        (J, np.arange(N), np.arange(N + 1)), shape=(ND, ND)
+    ).tocsr()
+    R = J_sp - interleaved(m_ds)
+    lam = (interleaved(C_invs) + R.T @ interleaved(K_invs) @ R) / float(beta)
+    obs_diag = (
+        np.asarray(obs_mask, np.float64) / np.asarray(sigma_sqs, np.float64)[None, :]
+    ).ravel()
+    lam = (lam + sp.diags(obs_diag)).tocsr()
+
+    bw = int(min(bw, ND - 1))
+    band = np.zeros((2 * bw + 1, ND), np.float64)
+    for k in range(-bw, bw + 1):
+        diag = lam.diagonal(k)
+        if k >= 0:
+            band[bw + k, : ND - k] = diag
+        else:
+            band[bw + k, -k:] = diag
+    return band
+
+
+def build_gn_whitening_banded(
+    model,
+    sigma_sqs_init=None,
+    bw_precision: int | None = None,
+    bw_factor: int | None = None,
+):
+    """Banded whitening factor W ~= Lambda^{-1/2} from a fitted MAGI_v2
+    model (host-side float64). Returns (W_band, info dict).
+
+    Pipeline: banded GN precision (bandwidth bw_precision, default
+    D*(bandsize+1)) -> banded Cholesky Lambda ~= U'U (jitter-repaired;
+    band truncation can break PSD-ness) -> W = band_{bw_factor}(U^{-1}).
+    x = mu + W z is applied per leapfrog as one O(ND*b) block-banded
+    matvec (ops/banded.py); W is upper-triangular with positive diagonal,
+    hence exactly invertible — the posterior over X is IDENTICAL for any
+    bandwidth choice, only mixing quality varies.
+    """
+    from magi_v2_tpu.ops.banded_host import (
+        banded_cholesky_upper,
+        truncated_banded_triangular_inverse,
+    )
+
+    N, D = model.mag_I, model.D
+    bsize = model.BANDSIZE if model.BANDSIZE is not None else N - 1
+    if bw_precision is None:
+        bw_precision = min(N * D - 1, D * (bsize + 1))
+    if bw_factor is None:
+        bw_factor = bw_precision
+    obs_mask = (~np.isnan(model.X_obs_discret)).astype(np.float64)
+    sigma = (
+        model.sigma_sqs_init if sigma_sqs_init is None else sigma_sqs_init
+    )
+    J = np.asarray(
+        pointwise_ode_jacobian(
+            model.f_vec, model.I, model.Xhat_init, model.thetas_init
+        ),
+        np.float64,
+    )
+    lam_band = gauss_newton_precision_band(
+        model.C_d_invs, model.m_ds, model.K_d_invs, model.beta,
+        obs_mask, sigma, J, bw_precision, comp_bandwidth=bsize,
+    )
+    U_band, jitter = banded_cholesky_upper(lam_band)
+    W_band = truncated_banded_triangular_inverse(U_band, bw_factor)
+    return W_band, {
+        "jitter": jitter,
+        "bw_precision": int(bw_precision),
+        "bw_factor": int(bw_factor),
+    }
+
+
+def whiten_X_banded(X, mu_ds, W_band):
+    """z (N, D) from X (N, D): solve W z = (X - mu).ravel() (host, f64)."""
+    from magi_v2_tpu.ops.banded_host import solve_upper_banded
+
+    X = np.asarray(X, np.float64)
+    xc = (X - np.asarray(mu_ds, np.float64)[None, :]).reshape(-1)
+    return solve_upper_banded(np.asarray(W_band), xc).reshape(X.shape)
+
+
+def unwhiten_Z_banded(Z, mu_ds, W_blocks):
+    """X (..., N, D) from z (..., N, D): x = mu + W z (block-banded matvec)."""
+    from magi_v2_tpu.ops.banded import block_banded_matvec
+
+    shape = Z.shape
+    zf = Z.reshape(shape[:-2] + (-1,))
+    xc = block_banded_matvec(W_blocks, zf)
+    return xc.reshape(shape) + mu_ds
+
+
+def make_tempered_logp_grad_gn_banded(
+    data, f_vec, W_blocks, N_I: int, D: int, D_thetas: int
+):
+    """GN-whitened fused evaluation with every operator O(ND * b):
+    x = mu + W z (one block-banded matvec), t1 = ||V (x - mu)||^2 via the
+    per-component banded Cholesky factors V of C^{-1} (float32-safe PSD
+    sums — no cancellation), t2 via the banded K^{-1} factors inside
+    log_posterior_given_t1. ``data`` must be a BandedPosteriorData with
+    C_sqrt_blocks/K_sqrt_blocks present."""
+    from magi_v2_tpu.ops.banded import block_banded_matvec
+    from magi_v2_tpu.posterior import log_posterior_given_t1
+    from magi_v2_tpu.sampler.magi_state import unflatten_state
+
+    if data.C_sqrt_blocks is None or data.K_sqrt_blocks is None:
+        raise ValueError(
+            "banded GN whitening needs the banded sqrt factors; build the "
+            "data via to_banded_data(..., C_inv_sqrts_f64=..., "
+            "K_inv_sqrts_f64=...)"
+        )
+
+    def lp(q, beta_temp):
+        Z, sigma_pre, theta_pre = unflatten_state(q, N_I, D, D_thetas)
+        xc_flat = block_banded_matvec(W_blocks, Z.reshape(-1))
+        Xc = xc_flat.reshape(N_I, D)
+        X = Xc + data.mu_ds[None, :]
+        t1 = jnp.sum(block_banded_matvec(data.C_sqrt_blocks, Xc.T) ** 2)
+        return log_posterior_given_t1(
+            data, f_vec, X, sigma_pre, theta_pre, beta_temp, t1
+        )
+
+    vag = jax.value_and_grad(lp, argnums=0)
+
+    def logp_grad(q, beta_temp):
+        return vag(q, beta_temp)
+
+    return logp_grad
 
 
 def make_tempered_logp_grad_gn(
