@@ -117,6 +117,16 @@ def uniform_spacing(I) -> float | None:
     matrices are (anti)symmetric Toeplitz: computing the Bessel ladder on
     one row and gathering is ~N times cheaper than the full pairwise build
     (measured: the GP MLE was 93% of initial_fit wall time at N_I = 513).
+
+    COST CLIFF for non-uniform grids: when this returns None every Gram
+    build falls back to the O(N^2) pairwise Bessel ladder — ~N_I times
+    more Bessel evaluations, dominating initial_fit above N_I ~ 1k
+    (measured 112 s vs 4.7 s on the SEIR vignette, 185 s vs 16.6 s at
+    N_I = 513). The reference's discretizer always produces uniform grids
+    between consecutive observations only when the observations themselves
+    are equally spaced; user-supplied irregular tau at large N_I pays the
+    full pairwise cost (reference magi_v2.py:774-823 always pays it).
+    Forecast extension (extend_for_forecast) preserves uniformity.
     """
     import numpy as np
 
