@@ -611,15 +611,28 @@ class MAGI_v2:
                 # the factor is passed as an argument, NOT closed over: a
                 # closure bakes it into the executable as a constant
                 f_unw = jax.jit(lambda Z, mu, F: unw(Z, mu, F))
-                # ~5e11 FLOP per dispatch (~seconds at f32-highest);
-                # flops/draw ~ 2 * chains * factor entries for both the
-                # dense matvec and the block-banded einsum
-                chunk = max(
-                    1, int(5e11 // max(1, 2 * num_chains * factor.size))
-                )
+                # chunk draws to bound BOTH dispatch flops (~5e11: seconds
+                # at f32-highest; the axon tunnel kills multi-minute
+                # dispatches) and device memory: the block-banded matvec
+                # materializes an (draws*chains, nb, nw, T) window stack —
+                # nw copies of the input — which OOMed a 500x256 Lorenz
+                # N_I=1025 run under the flop bound alone
+                itemsize = np.dtype(dtype).itemsize
+                if storage == "banded" and reparam == "precond":
+                    nb, nw, T = W_blocks.shape[0], W_blocks.shape[1], W_blocks.shape[2]
+                    bytes_per = (nb * nw * T + 2 * self.mag_I * self.D) * itemsize
+                else:
+                    bytes_per = 3 * self.mag_I * self.D * itemsize
+                chunk_flops = int(5e11 // max(1, 2 * num_chains * factor.size))
+                chunk_mem = int(1.5e9 // max(1, num_chains * bytes_per))
+                chunk = max(1, min(chunk_flops, chunk_mem))
+                # stage the z draws on host: keeping the full (T, C, ND)
+                # array on device alongside the matvec intermediates is
+                # what blew the memory budget
+                X_samps = np.asarray(X_samps)
                 X_samps = np.concatenate(
                     [
-                        np.asarray(f_unw(X_samps[i : i + chunk],
+                        np.asarray(f_unw(jnp.asarray(X_samps[i : i + chunk]),
                                           data.mu_ds, factor))
                         for i in range(0, X_samps.shape[0], chunk)
                     ],

@@ -53,3 +53,34 @@ def test_sharded_rejects_uneven_chains():
             _logp_grad, jnp.zeros((6, 3)), jax.random.PRNGKey(0),
             SamplerConfig(num_results=2, num_burnin_steps=2),
         )
+
+
+def test_sharded_throughput_no_pathological_overhead():
+    """SPMD partitioning over the 8-device mesh must not blow up the wall
+    vs the unsharded run on identical work. True multi-device speedup is
+    not measurable here (CI hosts can have 1 physical core — virtual CPU
+    devices share it), so this guards the overhead side only; the scaling
+    table in BASELINE_MEASURED.json records the measured numbers."""
+    import time
+
+    from magi_v2_tpu.sampler import run_nuts_chains
+
+    cfg = SamplerConfig(num_results=50, num_burnin_steps=50,
+                        use_annealing=False, max_tree_depth=5)
+    q0 = jnp.zeros((16, 64)) + 0.25
+    key = jax.random.PRNGKey(1)
+    # warm both compiles
+    run_nuts_chains(_logp_grad, q0, key, cfg)
+    run_nuts_chains_sharded(_logp_grad, q0, key, cfg)
+
+    t0 = time.time()
+    jax.block_until_ready(run_nuts_chains(_logp_grad, q0, key, cfg)[0])
+    t_plain = time.time() - t0
+    t0 = time.time()
+    jax.block_until_ready(
+        run_nuts_chains_sharded(_logp_grad, q0, key, cfg)[0]
+    )
+    t_shard = time.time() - t0
+    assert t_shard < 3.0 * t_plain + 0.5, (
+        f"sharded {t_shard:.2f}s vs unsharded {t_plain:.2f}s"
+    )
