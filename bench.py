@@ -3,9 +3,21 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric definition (BASELINE.json north star): pooled effective samples per
-second of wall-clock sampling (warmup included) for the worst theta
-component, 256 chains on one chip, SEIR vignette geometry (N=81 obs,
-discretization=1 -> N_I=161, full hyperparameter + theta initialization).
+second of SAMPLING wall-clock for the worst theta component, 256 chains on
+one chip, SEIR vignette geometry (N=81 obs, discretization=1 -> N_I=161,
+full hyperparameter + theta initialization).
+
+Methodology (round-2 fixes per VERDICT.md Weak #1/#2):
+
+- A short compile-priming run executes first so the timed run hits the
+  compiled-executable cache (the sampler auto-blocks at <=50 transitions
+  per dispatch on the axon runtime, so block executables are shape-stable
+  across runs); round-1 walls swung 174-316 s run-to-run on tunnel compile
+  variance.
+- The timed wall covers predict() of the main run only (setup/priming
+  excluded, reported separately in detail).
+- The JSON self-certifies convergence: rhat_max is computed from split
+  R-hat over the 256 chains and the "converged" flag gates at 1.05.
 
 vs_baseline: ratio to the reference-equivalent single-chain CPU run. The
 TFP reference itself crashes at HEAD (SURVEY.md §4) and publishes no
@@ -22,6 +34,11 @@ import os
 import time
 
 import numpy as np
+
+NUM_CHAINS = 256
+NUM_BURNIN = 1000
+NUM_RESULTS = 1000
+HMC_LEAPFROGS = 64
 
 
 def main():
@@ -68,26 +85,36 @@ def main():
         D_thetas=3, ts_obs=ts_obs, X_obs=X_obs, bandsize=80,
         f_vec=seir_f_vec, config=cfg,
     )
-    model.initial_fit(discretization=1)
-
-    num_chains = 256
-    num_burnin, num_results = 500, 500
     t0 = time.time()
-    res = model.predict(
-        num_results=num_results,
-        num_burnin_steps=num_burnin,
-        num_chains=num_chains,
+    model.initial_fit(discretization=1)
+    setup_s = time.time() - t0
+
+    common = dict(
+        num_chains=NUM_CHAINS,
         seed=0,
         init_jitter=0.01,
         # jittered fixed-length HMC keeps all 256 vmapped chains in lockstep
-        # (no slowest-tree sync): measured 3.7 ESS/s vs 1.3-2.5 for NUTS at
-        # identical theta recovery and better R-hat (BASELINE_MEASURED.json)
+        # (no slowest-tree sync): measured faster than NUTS at identical
+        # theta recovery and better R-hat (BASELINE_MEASURED.json)
         algorithm="hmc",
-        hmc_num_leapfrogs=64,
+        hmc_num_leapfrogs=HMC_LEAPFROGS,
         # sample the same (tempered) posterior as the reference so the
         # vs_baseline ratio compares identical statistical tasks; the
         # library default is the statistically-sound warmup_only mode
+        # (its ESS/s is recorded in BASELINE_MEASURED.json)
         anneal_mode="reference",
+    )
+
+    # compile-priming: >=50+50 steps shares the 50-transition dispatch-block
+    # executables with the timed run, warming both the in-process and the
+    # persistent compile cache plus the tunnel
+    t0 = time.time()
+    model.predict(num_results=50, num_burnin_steps=50, **common)
+    prime_s = time.time() - t0
+
+    t0 = time.time()
+    res = model.predict(
+        num_results=NUM_RESULTS, num_burnin_steps=NUM_BURNIN, **common
     )
     wall = time.time() - t0
 
@@ -95,6 +122,7 @@ def main():
     theta_samps = res["thetas_samps"]
     summary = summarize_chains(theta_samps, wall)
     ess_per_sec = summary["ess_per_sec_min"]
+    rhat_max = summary["rhat_max"]
 
     baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
     vs_baseline = None
@@ -112,10 +140,14 @@ def main():
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "detail": {
             "ess_min": round(summary["ess_min"], 1),
-            "rhat_max": round(summary["rhat_max"], 4),
+            "rhat_max": round(rhat_max, 4),
+            "converged": bool(rhat_max <= 1.05),
             "wall_s": round(wall, 2),
-            "num_chains": num_chains,
-            "steps": f"{num_burnin}+{num_results}",
+            "setup_s": round(setup_s, 2),
+            "prime_s": round(prime_s, 2),
+            "num_chains": NUM_CHAINS,
+            "steps": f"{NUM_BURNIN}+{NUM_RESULTS}",
+            "hmc_leapfrogs": HMC_LEAPFROGS,
             "divergence_rate": float(res["kernel_results"]["divergences"].mean()),
             "device": str(jax.devices()[0]),
         },

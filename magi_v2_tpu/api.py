@@ -451,7 +451,7 @@ class MAGI_v2:
             # banded Gauss-Newton whitening: W ~= Lambda^{-1/2} as a banded
             # factor, applied per leapfrog as one O(ND*b) block-banded MXU
             # matvec — the large-grid mode (dense factors are O((ND)^2))
-            from magi_v2_tpu.ops.banded import banded_to_blocks
+            from magi_v2_tpu.ops.banded import banded_to_blocks_upper
             from magi_v2_tpu.sampler.precond import (
                 build_gn_whitening_banded,
                 make_tempered_logp_grad_gn_banded,
@@ -461,7 +461,10 @@ class MAGI_v2:
 
             with self._setup_device_ctx():
                 W_band, gn_info = build_gn_whitening_banded(self)
-                W_blocks64 = np.asarray(banded_to_blocks(jnp.asarray(W_band)))
+                # upper layout: W is triangular, skip the zero lower tiles
+                W_blocks64 = np.asarray(
+                    banded_to_blocks_upper(jnp.asarray(W_band))
+                )
             W_blocks = jnp.asarray(W_blocks64, dtype)
             logp_grad = make_tempered_logp_grad_gn_banded(
                 data, self.f_vec, W_blocks, self.mag_I, self.D, self.D_thetas

@@ -209,12 +209,12 @@ def banded_to_blocks(band, T: int = 128):
     return jnp.where(valid, blocks, 0.0)
 
 
-def block_banded_matvec(blocks, x):
-    """y = A @ x with A in block-banded storage.
+def _block_banded_matvec_core(blocks, x, hw_lo: int, hw_hi: int):
+    """y = A @ x for block tiles covering column tiles [q - hw_lo, q + hw_hi].
 
-    blocks: (*B, nb, nw, T, T); x: (*E, *B, N) — extra leading dims *E
-    (e.g. chains) become GEMM free dimensions. N <= nb*T (zero-padded
-    internally). Pure einsum + pad/slice — rides the MXU and
+    blocks: (*B, nb, hw_lo + hw_hi + 1, T, T); x: (*E, *B, N) — extra
+    leading dims *E (e.g. chains) become GEMM free dimensions. N <= nb*T
+    (zero-padded internally). Pure einsum + pad/slice — rides the MXU and
     differentiates natively.
 
     Performance note: the blocks must NOT be broadcast across *E — keeping
@@ -225,7 +225,7 @@ def block_banded_matvec(blocks, x):
     blocks = jnp.asarray(blocks)
     x = jnp.asarray(x)
     nb, nw, T = blocks.shape[-4], blocks.shape[-3], blocks.shape[-2]
-    hw = (nw - 1) // 2
+    assert nw == hw_lo + hw_hi + 1
     N = x.shape[-1]
     B = blocks.shape[:-4]
     nB = len(B)
@@ -234,9 +234,9 @@ def block_banded_matvec(blocks, x):
         x = jnp.broadcast_to(x, E + B + (N,))
 
     pad_tail = nb * T - N
-    widths = [(0, 0)] * (x.ndim - 1) + [(hw * T, pad_tail + hw * T)]
+    widths = [(0, 0)] * (x.ndim - 1) + [(hw_lo * T, pad_tail + hw_hi * T)]
     xp = jnp.pad(x, widths)
-    xb = xp.reshape(E + B + (nb + 2 * hw, T))
+    xb = xp.reshape(E + B + (nb + hw_lo + hw_hi, T))
     windows = jnp.stack(
         [xb[..., s : s + nb, :] for s in range(nw)], axis=-2
     )  # (*E, *B, nb, nw, T)
@@ -249,6 +249,32 @@ def block_banded_matvec(blocks, x):
     y = jnp.einsum("...qsrt,c...qst->c...qr", blocks, windows_f)
     y = y.reshape(E + B + (nb * T,))
     return y[..., :N]
+
+
+def block_banded_matvec(blocks, x):
+    """y = A @ x with A in symmetric-window block-banded storage
+    (*B, nb, 2hw+1, T, T) — see _block_banded_matvec_core."""
+    nw = jnp.asarray(blocks).shape[-3]
+    hw = (nw - 1) // 2
+    return _block_banded_matvec_core(blocks, x, hw, hw)
+
+
+def banded_to_blocks_upper(band, T: int = 128):
+    """Block tiles of an UPPER-triangular band (lower rows of ``band`` must
+    be zero): (..., nb, hw+1, T, T), where s=0 is the diagonal tile. Halves
+    the tile count vs the symmetric layout — triangular factors like the
+    Gauss-Newton whitening W would otherwise spend half their MACs on
+    structurally-zero tiles (the hottest matvec of the banded leapfrog)."""
+    full = banded_to_blocks(band, T)
+    nw = full.shape[-3]
+    hw = (nw - 1) // 2
+    return full[..., hw:, :, :]
+
+
+def block_banded_matvec_upper(blocks, x):
+    """y = A @ x with A upper-triangular in banded_to_blocks_upper storage."""
+    nw = jnp.asarray(blocks).shape[-3]
+    return _block_banded_matvec_core(blocks, x, 0, nw - 1)
 
 
 def block_banded_quadratic_form(blocks, x):

@@ -283,12 +283,15 @@ def whiten_X_banded(X, mu_ds, W_band):
 
 
 def unwhiten_Z_banded(Z, mu_ds, W_blocks):
-    """X (..., N, D) from z (..., N, D): x = mu + W z (block-banded matvec)."""
-    from magi_v2_tpu.ops.banded import block_banded_matvec
+    """X (..., N, D) from z (..., N, D): x = mu + W z.
+
+    W_blocks is in banded_to_blocks_upper layout (W is upper-triangular, so
+    the lower tiles are structurally zero and skipped)."""
+    from magi_v2_tpu.ops.banded import block_banded_matvec_upper
 
     shape = Z.shape
     zf = Z.reshape(shape[:-2] + (-1,))
-    xc = block_banded_matvec(W_blocks, zf)
+    xc = block_banded_matvec_upper(W_blocks, zf)
     return xc.reshape(shape) + mu_ds
 
 
@@ -296,12 +299,16 @@ def make_tempered_logp_grad_gn_banded(
     data, f_vec, W_blocks, N_I: int, D: int, D_thetas: int
 ):
     """GN-whitened fused evaluation with every operator O(ND * b):
-    x = mu + W z (one block-banded matvec), t1 = ||V (x - mu)||^2 via the
-    per-component banded Cholesky factors V of C^{-1} (float32-safe PSD
+    x = mu + W z (one upper-triangular block-banded matvec; W_blocks in
+    banded_to_blocks_upper layout), t1 = ||V (x - mu)||^2 via the
+    per-component banded sqrt factors V of C^{-1} (float32-safe PSD
     sums — no cancellation), t2 via the banded K^{-1} factors inside
     log_posterior_given_t1. ``data`` must be a BandedPosteriorData with
     C_sqrt_blocks/K_sqrt_blocks present."""
-    from magi_v2_tpu.ops.banded import block_banded_matvec
+    from magi_v2_tpu.ops.banded import (
+        block_banded_matvec,
+        block_banded_matvec_upper,
+    )
     from magi_v2_tpu.posterior import log_posterior_given_t1
     from magi_v2_tpu.sampler.magi_state import unflatten_state
 
@@ -314,7 +321,7 @@ def make_tempered_logp_grad_gn_banded(
 
     def lp(q, beta_temp):
         Z, sigma_pre, theta_pre = unflatten_state(q, N_I, D, D_thetas)
-        xc_flat = block_banded_matvec(W_blocks, Z.reshape(-1))
+        xc_flat = block_banded_matvec_upper(W_blocks, Z.reshape(-1))
         Xc = xc_flat.reshape(N_I, D)
         X = Xc + data.mu_ds[None, :]
         t1 = jnp.sum(block_banded_matvec(data.C_sqrt_blocks, Xc.T) ** 2)

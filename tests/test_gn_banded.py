@@ -96,6 +96,30 @@ def test_solve_upper_banded_roundtrip():
     np.testing.assert_allclose(solve_upper_banded(U_band, rhs), x, atol=1e-8)
 
 
+def test_block_banded_matvec_upper_matches_symmetric():
+    from magi_v2_tpu.ops.banded import (
+        banded_to_blocks,
+        banded_to_blocks_upper,
+        block_banded_matvec,
+        block_banded_matvec_upper,
+        dense_to_banded,
+    )
+
+    rng = np.random.default_rng(6)
+    N, b = 300, 37
+    U = np.triu(rng.standard_normal((N, N)))
+    i, j = np.meshgrid(np.arange(N), np.arange(N), indexing="ij")
+    U = np.where((j - i <= b) & (j >= i), U, 0.0)
+    band = dense_to_banded(jnp.asarray(U), b)
+    x = rng.standard_normal((5, N))  # batched leading dim
+    y_sym = block_banded_matvec(banded_to_blocks(band), jnp.asarray(x))
+    y_up = block_banded_matvec_upper(
+        banded_to_blocks_upper(band), jnp.asarray(x)
+    )
+    np.testing.assert_allclose(np.asarray(y_up), np.asarray(y_sym), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(y_up), x @ U.T, atol=1e-10)
+
+
 def test_gn_precision_band_matches_dense():
     from magi_v2_tpu.sampler.precond import (
         gauss_newton_precision,
@@ -158,7 +182,7 @@ def test_banded_centered_equals_banded_precond_target(small_seir_model):
     """Centered and GN-whitened banded modes must evaluate the SAME
     tempered log-posterior at corresponding points (the reparameterization
     is a linear coordinate change with constant Jacobian)."""
-    from magi_v2_tpu.ops.banded import banded_to_blocks
+    from magi_v2_tpu.ops.banded import banded_to_blocks_upper
     from magi_v2_tpu.posterior import make_posterior_data, to_banded_data
     from magi_v2_tpu.sampler.magi_state import (
         flatten_state,
@@ -186,7 +210,7 @@ def test_banded_centered_equals_banded_precond_target(small_seir_model):
         data, m.BANDSIZE, C_inv_sqrts_f64=R64, K_inv_sqrts_f64=S64
     )
     W_band, info = build_gn_whitening_banded(m)
-    W_blocks = jnp.asarray(banded_to_blocks(jnp.asarray(W_band)), dtype)
+    W_blocks = jnp.asarray(banded_to_blocks_upper(jnp.asarray(W_band)), dtype)
 
     lp_cent = make_tempered_logp_grad(bdata, seir_f_vec, m.mag_I, m.D, 3)
     lp_gn = make_tempered_logp_grad_gn_banded(
