@@ -448,26 +448,33 @@ class MAGI_v2:
             raise ValueError(f"unknown storage mode {storage!r}")
 
         if reparam == "precond" and storage == "banded":
-            # banded Gauss-Newton whitening: W ~= Lambda^{-1/2} as a banded
-            # factor, applied per leapfrog as one O(ND*b) block-banded MXU
-            # matvec — the large-grid mode (dense factors are O((ND)^2))
+            # banded Gauss-Newton whitening: z = U (x - mu) with U the
+            # banded Cholesky factor of the GN precision — whitened
+            # curvature identically I; x = U^{-1} z per leapfrog is an
+            # exact O(ND*b) block-banded back substitution. The large-grid
+            # mode (dense factors are O((ND)^2)).
             from magi_v2_tpu.ops.banded import banded_to_blocks_upper
             from magi_v2_tpu.sampler.precond import (
-                build_gn_whitening_banded,
+                build_gn_cholesky_banded,
                 make_tempered_logp_grad_gn_banded,
                 unwhiten_Z_banded,
                 whiten_X_banded,
             )
 
             with self._setup_device_ctx():
-                W_band, gn_info = build_gn_whitening_banded(self)
-                # upper layout: W is triangular, skip the zero lower tiles
-                W_blocks64 = np.asarray(
-                    banded_to_blocks_upper(jnp.asarray(W_band))
+                # R64/S64 make Lambda the exact PSD GN curvature of the
+                # banded target (raw band-truncated operators are
+                # indefinite at dense-grid sizes — see precond.py)
+                U_band, gn_info = build_gn_cholesky_banded(
+                    self, C_inv_sqrts=R64, K_inv_sqrts=S64
                 )
-            W_blocks = jnp.asarray(W_blocks64, dtype)
+                U_blocks64 = np.asarray(
+                    banded_to_blocks_upper(jnp.asarray(U_band))
+                )
+            U_blocks = jnp.asarray(U_blocks64, dtype)
             logp_grad = make_tempered_logp_grad_gn_banded(
-                data, self.f_vec, W_blocks, self.mag_I, self.D, self.D_thetas
+                data, self.f_vec, U_blocks, self.mag_I, self.D,
+                self.D_thetas,
             )
         elif reparam == "precond":
             # full-state Gauss-Newton whitening; factors built host-side in
@@ -481,7 +488,13 @@ class MAGI_v2:
             )
 
             with self._setup_device_ctx():
-                L64, L_inv64, A164 = build_gn_whitening(self, sigma_sqs_init=None)
+                # R64/S64: A1 = L'(R'R)L matches the factored t1 the dense
+                # target evaluates, and keeps Lambda PSD under band
+                # truncation (see precond.py)
+                L64, L_inv64, A164 = build_gn_whitening(
+                    self, sigma_sqs_init=None,
+                    C_inv_sqrts=R64, K_inv_sqrts=S64,
+                )
             L = jnp.asarray(np.asarray(L64), dtype)
             L_inv = jnp.asarray(np.asarray(L_inv64), dtype)
             A1 = jnp.asarray(np.asarray(A164), dtype)
@@ -527,10 +540,18 @@ class MAGI_v2:
             self.thetas_init, np.zeros_like(self.thetas_init)
         )
         if reparam == "precond" and storage == "banded":
-            # host f64 banded triangular solve W z0 = x0 - mu
-            X0 = jnp.asarray(
-                whiten_X_banded(self.Xhat_init, self.mu_ds, W_band), dtype
-            )
+            # z0 = U (x0 - mu): one f64 banded matvec
+            with self._setup_device_ctx():
+                X0 = jnp.asarray(
+                    np.asarray(
+                        whiten_X_banded(
+                            jnp.asarray(self.Xhat_init),
+                            jnp.asarray(self.mu_ds),
+                            jnp.asarray(U_blocks64),
+                        )
+                    ),
+                    dtype,
+                )
         else:
             X0 = jnp.asarray(self.Xhat_init, dtype)
             if reparam == "precond":
@@ -605,7 +626,7 @@ class MAGI_v2:
             # over draws: one full-batch dispatch at large N_I exceeds the
             # axon tunnel's dispatch limit (observed hang at N_I=1025)
             if reparam == "precond" and storage == "banded":
-                unw, factor = unwhiten_Z_banded, W_blocks
+                unw, factor = unwhiten_Z_banded, U_blocks
             elif reparam == "precond":
                 unw, factor = unwhiten_Z_full, L
             else:
@@ -622,7 +643,9 @@ class MAGI_v2:
                 # N_I=1025 run under the flop bound alone
                 itemsize = np.dtype(dtype).itemsize
                 if storage == "banded" and reparam == "precond":
-                    nb, nw, T = W_blocks.shape[0], W_blocks.shape[1], W_blocks.shape[2]
+                    nb, nw, T = (
+                        U_blocks.shape[0], U_blocks.shape[1], U_blocks.shape[2]
+                    )
                     bytes_per = (nb * nw * T + 2 * self.mag_I * self.D) * itemsize
                 else:
                     bytes_per = 3 * self.mag_I * self.D * itemsize

@@ -279,3 +279,62 @@ def block_banded_matvec_upper(blocks, x):
 
 def block_banded_quadratic_form(blocks, x):
     return jnp.sum(x * block_banded_matvec(blocks, x))
+
+
+def block_banded_triangular_solve_upper(blocks, y):
+    """Solve U x = y for upper-triangular banded U in
+    banded_to_blocks_upper layout; y: (*E, N).
+
+    Back substitution over block rows as one lax.scan (sequential depth
+    nb = ceil(N/T)), each step: one batched (T, T) triangular solve plus
+    nwu-1 (T, T) GEMMs against the rolling buffer of already-solved
+    blocks — all batched over *E on the MXU.
+
+    This is the EXACT unwhitening x = U^{-1} z for the banded
+    Gauss-Newton Cholesky factor Lambda = U'U: unlike the band-truncated
+    inverse W ~= band(U^{-1}), whose columns decay too slowly to truncate
+    (measured on Lorenz N_I=1025: 92% of column norm beyond distance 303,
+    leaving eig(W'LamW) spread over 14 decades), the solve gives
+    U^{-T} Lambda U^{-1} = I identically. f32-safe: the solve's error is
+    ~kappa(U)*eps = sqrt(kappa(Lambda))*eps ~ 2e3 * 6e-8 ~ 1e-4 relative
+    (kappa(Lambda) measured 5e6).
+
+    Cost per apply: O(N * b * T) MACs + nb-deep sequential chain. Zero
+    padding rows (beyond N) get unit diagonal so the padded solve is
+    well-posed; their solution is exactly 0.
+    """
+    from jax.scipy.linalg import solve_triangular
+
+    blocks = jnp.asarray(blocks)
+    y = jnp.asarray(y)
+    nb, nwu, T = blocks.shape[-4], blocks.shape[-3], blocks.shape[-2]
+    N = y.shape[-1]
+    E = y.shape[:-1]
+    B = int(np.prod(E, dtype=np.int64)) if E else 1
+    yf = y.reshape(B, N)
+    pad_tail = nb * T - N
+    yb = jnp.pad(yf, ((0, 0), (0, pad_tail))).reshape(B, nb, T)
+    yb = jnp.swapaxes(yb, 0, 1)                     # (nb, B, T)
+
+    # unit diagonal on padding rows (i >= N): keeps the tile invertible
+    q = jnp.arange(nb)[:, None]
+    r = jnp.arange(T)[None, :]
+    pad_fix = ((q * T + r) >= N).astype(blocks.dtype)   # (nb, T)
+    diag_tiles = blocks[:, 0] + jnp.eye(T, dtype=blocks.dtype)[None] * pad_fix[:, :, None]
+
+    off_tiles = blocks[:, 1:]                        # (nb, nwu-1, T, T)
+
+    def step(buf, inputs):
+        # buf: (B, nwu-1, T) = [x_{i+1}, ..., x_{i+nwu-1}]
+        d_tile, o_tiles, y_i = inputs
+        contrib = jnp.einsum("src,bsc->br", o_tiles, buf)
+        x_i = solve_triangular(d_tile, (y_i - contrib).T, lower=False).T
+        buf = jnp.concatenate([x_i[:, None, :], buf[:, :-1, :]], axis=1)
+        return buf, x_i
+
+    buf0 = jnp.zeros((B, max(nwu - 1, 1), T), blocks.dtype)
+    _, xs = jax.lax.scan(
+        step, buf0, (diag_tiles, off_tiles, yb), reverse=True
+    )                                                # (nb, B, T)
+    x = jnp.swapaxes(xs, 0, 1).reshape(B, nb * T)[:, :N]
+    return x.reshape(E + (N,))

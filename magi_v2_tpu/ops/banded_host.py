@@ -1,9 +1,9 @@
 """Host-side (NumPy/SciPy, float64) banded linear algebra for setup.
 
-These run ONCE per fit on the host — banded Cholesky factorization,
-truncated banded triangular inverse, banded solves — and produce the
-operators the device-side sampler applies per leapfrog via the O(N*b)
-block-banded MXU matvecs in ops/banded.py. Keeping the factorizations in
+These run ONCE per fit on the host — banded Cholesky factorization and
+storage conversions — and produce the operators the device-side sampler
+applies per leapfrog via the O(N*b) block-banded MXU matvecs and
+triangular solves in ops/banded.py. Keeping the factorizations in
 f64 on the host mirrors the library's precision policy (README "Precision
 policy"): float32 factorization of the ill-conditioned MAGI precision
 operators is unreliable, while f32 *application* of well-conditioned
@@ -107,70 +107,3 @@ def banded_cholesky_upper(band: np.ndarray, max_tries: int = 16):
         f"banded Cholesky failed after {max_tries} jitter escalations "
         f"(final jitter {jitter:.2e}, diag scale {scale:.2e})"
     )
-
-
-def _upper_band_window(U_band: np.ndarray, lo: int, hi: int) -> np.ndarray:
-    """Dense copy of U[lo:hi, lo:hi] from upper-banded storage."""
-    two_b1, N = U_band.shape
-    b = (two_b1 - 1) // 2
-    n = hi - lo
-    M = np.zeros((n, n), U_band.dtype)
-    for k in range(0, min(b, n - 1) + 1):
-        m = n - k
-        idx = np.arange(m)
-        M[idx, idx + k] = U_band[b + k, lo : hi - k]
-    return M
-
-
-def truncated_banded_triangular_inverse(
-    U_band: np.ndarray, out_bw: int, block: int = 256
-) -> np.ndarray:
-    """W = band_{out_bw}(U^{-1}) for upper-triangular banded U — exact
-    within the kept band.
-
-    The inverse of an upper-triangular matrix is upper-triangular with
-    entries decaying away from the diagonal (geometrically, for the
-    diagonally-dominant factors MAGI produces); truncating it to a band
-    gives an O(N*b)-applicable approximate inverse — the preconditioner
-    quality degrades gracefully with out_bw while the sampler's
-    reparameterization stays EXACT for any invertible W (linear map,
-    constant Jacobian).
-
-    Kept entries are computed exactly: for a triangular matrix the
-    diagonal sub-block of the inverse equals the inverse of the diagonal
-    sub-block, so a windowed dense solve over rows [j - out_bw, j] yields
-    U^{-1}[i, j] exactly for all kept (i, j). Cost O(N * (out_bw+block)^2).
-    """
-    U_band = np.asarray(U_band, np.float64)
-    N = U_band.shape[1]
-    out_bw = int(min(out_bw, N - 1))
-    W = np.zeros((2 * out_bw + 1, N), np.float64)
-    for j0 in range(0, N, block):
-        j1 = min(j0 + block, N)
-        rlo = max(0, j0 - out_bw)
-        M = _upper_band_window(U_band, rlo, j1)
-        E = np.zeros((j1 - rlo, j1 - j0), np.float64)
-        E[j0 - rlo :, :] = np.eye(j1 - j0)
-        Xb = scipy.linalg.solve_triangular(M, E, lower=False)
-        rows = np.arange(rlo, j1)
-        for j in range(j0, j1):
-            col = Xb[:, j - j0]
-            ks = j - rows
-            keep = (ks >= 0) & (ks <= out_bw)
-            W[out_bw + ks[keep], rows[keep]] = col[keep]
-    return W
-
-
-def solve_upper_banded(U_band: np.ndarray, rhs: np.ndarray) -> np.ndarray:
-    """Solve U x = rhs for upper-triangular banded U (our storage)."""
-    U_band = np.asarray(U_band, np.float64)
-    two_b1, N = U_band.shape
-    b = (two_b1 - 1) // 2
-    ab = np.zeros((b + 1, N), np.float64)
-    for k in range(0, b + 1):
-        # scipy solve_banded: ab[u + i - j, j] = A[i, j], u = b, l = 0
-        if k == 0:
-            ab[b, :] = U_band[b, :]
-        else:
-            ab[b - k, k:] = U_band[b + k, : N - k]
-    return scipy.linalg.solve_banded((0, b), ab, np.asarray(rhs, np.float64))

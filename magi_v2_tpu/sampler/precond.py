@@ -27,15 +27,16 @@ over X is IDENTICAL. Cost: one (N*D)^2 assembly + one (N*D) eigh at setup.
 
 Scaling note: the dense factor L = Lambda^{-1/2} costs an O((ND)^2) matvec
 per leapfrog — fine through N_I ~ 1k (38 MB f32 at N_I=1025, D=3) but
-dominant beyond. The BANDED path (build_gn_whitening_banded +
+dominant beyond. The BANDED path (build_gn_cholesky_banded +
 make_tempered_logp_grad_gn_banded) exploits that Lambda is block-banded
 (bandwidth ~ kernel bandsize x D in the interleaved n*D+d flat index):
-banded Cholesky Lambda ~= U'U on the host, then W = band(U^{-1}) — the
-truncated inverse applied as ONE O(ND*b) block-banded MXU matvec per
-leapfrog (x = mu + W z), with NO sequential triangular solve in the hot
-loop. Any invertible W is an exact reparameterization (linear, constant
-Jacobian); truncation only degrades preconditioning quality, never
-correctness.
+banded Cholesky Lambda = U'U on the host, whiten z = U (x - mu), and
+unwhiten per leapfrog by the EXACT O(ND*b) block-banded back substitution
+x = mu + U^{-1} z (ops/banded.py) — whitened curvature identically I.
+A truncated-inverse W ~= band(U^{-1}) pure-matvec variant was measured
+and rejected: U^{-1}'s columns decay too slowly to truncate (92% of
+column norm beyond distance 303 on Lorenz N_I=1025), leaving the
+"whitened" spectrum spread over 14 decades.
 """
 
 from __future__ import annotations
@@ -60,13 +61,30 @@ def pointwise_ode_jacobian(f_vec, I, Xhat, thetas):
 
 
 def gauss_newton_precision(
-    C_invs, m_ds, K_invs, beta, obs_mask, sigma_sqs, J
+    C_invs, m_ds, K_invs, beta, obs_mask, sigma_sqs, J,
+    C_inv_sqrts=None, K_inv_sqrts=None,
 ):
     """Assemble the (N*D, N*D) Gauss-Newton precision of the X block.
 
     obs_mask: (N, D) 1.0 where observed; sigma_sqs: (D,); J: (N, D, D).
     Index order matches X.ravel() (row-major: flat = n*D + d).
+
+    When the factored forms R = C^{-1/2}, S = K^{-1/2} are supplied
+    (sym_sqrt with negative eigenvalues clamped — the operators the sampler
+    actually evaluates t1/t2 with), the precision is built from R'R / S'S
+    instead of the raw matrices. This matters whenever bandsize truncation
+    made the raw C^{-1}/K^{-1} indefinite (measured on Lorenz N_I=1025,
+    bandsize=100: raw-Lambda eigenvalues reach -5.6e9 relative, so the
+    "whitened" target was indefinite and the sampler froze at eps ~1e-5);
+    with the clamped factors, Lambda is the exact PSD Gauss-Newton
+    curvature of the target being sampled.
     """
+    if C_inv_sqrts is not None:
+        R = jnp.asarray(C_inv_sqrts)
+        C_invs = jnp.einsum("dmn,dmM->dnM", R, R)
+    if K_inv_sqrts is not None:
+        S = jnp.asarray(K_inv_sqrts)
+        K_invs = jnp.einsum("dmn,dmM->dnM", S, S)
     C_invs = jnp.asarray(C_invs)
     m_ds = jnp.asarray(m_ds)
     K_invs = jnp.asarray(K_invs)
@@ -100,7 +118,9 @@ def factor_precision(lam, floor_ratio: float = 1e-12):
     return L, L_inv
 
 
-def build_gn_whitening(model, sigma_sqs_init=None):
+def build_gn_whitening(
+    model, sigma_sqs_init=None, C_inv_sqrts=None, K_inv_sqrts=None
+):
     """(L, L_inv, A1) full-state whitening factors from a fitted MAGI_v2
     model (host-side, float64).
 
@@ -110,6 +130,12 @@ def build_gn_whitening(model, sigma_sqs_init=None):
     float32 is safe — unlike the raw x' C^{-1} x form, whose ~1e8-magnitude
     term cancellation destroys float32 energies (measured: NUTS acceptance
     -> 0 on TPU).
+
+    Pass the clamped sqrt factors R = C^{-1/2}, S = K^{-1/2} whenever the
+    sampler evaluates t1/t2 through them (predict() always does): then
+    A1 = L'(R'R)L matches the centered target EXACTLY even when band
+    truncation made the raw C^{-1} indefinite, and Lambda is PSD (see
+    gauss_newton_precision).
     """
     N, D = model.mag_I, model.D
     obs_mask = (~np.isnan(model.X_obs_discret)).astype(np.float64)
@@ -122,11 +148,16 @@ def build_gn_whitening(model, sigma_sqs_init=None):
     lam = gauss_newton_precision(
         model.C_d_invs, model.m_ds, model.K_d_invs, model.beta,
         obs_mask, sigma, J,
+        C_inv_sqrts=C_inv_sqrts, K_inv_sqrts=K_inv_sqrts,
     )
     L, L_inv = factor_precision(lam)
 
     # blkdiag(C_inv) in X.ravel() (n*D+d) index order, then sandwich with L
-    C_invs = jnp.asarray(model.C_d_invs)
+    if C_inv_sqrts is not None:
+        R = jnp.asarray(C_inv_sqrts)
+        C_invs = jnp.einsum("dmn,dmM->dnM", R, R)
+    else:
+        C_invs = jnp.asarray(model.C_d_invs)
     Cb = jnp.zeros((N, D, N, D), C_invs.dtype)
     for d in range(D):
         Cb = Cb.at[:, d, :, d].set(C_invs[d])
@@ -160,6 +191,7 @@ def unwhiten_Z_full(Z, mu_ds, L):
 def gauss_newton_precision_band(
     C_invs, m_ds, K_invs, beta, obs_mask, sigma_sqs, J, bw: int,
     comp_bandwidth: int | None = None,
+    C_inv_sqrts=None, K_inv_sqrts=None,
 ):
     """Banded storage (2*bw+1, N*D) of the Gauss-Newton precision Lambda
     (same operator as gauss_newton_precision) without forming the dense
@@ -169,6 +201,15 @@ def gauss_newton_precision_band(
     the ordering in which Lambda is banded (cross-component coupling is
     pointwise in time). ``comp_bandwidth`` bounds the per-component band of
     C^{-1}/m/K^{-1} read from the (band-truncated) dense inputs.
+
+    When the f64 sqrt factors R = C^{-1/2}, S = K^{-1/2} are supplied, the
+    precision is assembled from band(R)'band(R) / band(S)'band(S) — the
+    EXACT PSD Gauss-Newton curvature of the banded sampling target, whose
+    t1/t2 evaluate through those same band-truncated factors
+    (posterior.to_banded_data). Without them, band truncation leaves the
+    raw operators indefinite at dense-grid sizes and the resulting
+    "whitened" geometry is garbage (measured: Lorenz N_I=1025/bandsize=100
+    needed Cholesky jitter 2e5x the diagonal and froze the sampler).
     """
     import scipy.sparse as sp
 
@@ -200,12 +241,23 @@ def gauss_newton_precision_band(
             shape=(ND, ND),
         )
 
+    if C_inv_sqrts is not None:
+        Rb = interleaved(np.asarray(C_inv_sqrts, np.float64))
+        C_term = Rb.T @ Rb
+    else:
+        C_term = interleaved(C_invs)
+    if K_inv_sqrts is not None:
+        Sb = interleaved(np.asarray(K_inv_sqrts, np.float64))
+        K_term = Sb.T @ Sb
+    else:
+        K_term = interleaved(K_invs)
+
     # dr/dX = J_blockdiag - m_blockdiag  (see gauss_newton_precision docstring)
     J_sp = sp.bsr_matrix(
         (J, np.arange(N), np.arange(N + 1)), shape=(ND, ND)
     ).tocsr()
     R = J_sp - interleaved(m_ds)
-    lam = (interleaved(C_invs) + R.T @ interleaved(K_invs) @ R) / float(beta)
+    lam = (C_term + R.T @ K_term @ R) / float(beta)
     obs_diag = (
         np.asarray(obs_mask, np.float64) / np.asarray(sigma_sqs, np.float64)[None, :]
     ).ravel()
@@ -222,34 +274,43 @@ def gauss_newton_precision_band(
     return band
 
 
-def build_gn_whitening_banded(
+def build_gn_cholesky_banded(
     model,
     sigma_sqs_init=None,
     bw_precision: int | None = None,
-    bw_factor: int | None = None,
+    C_inv_sqrts=None,
+    K_inv_sqrts=None,
 ):
-    """Banded whitening factor W ~= Lambda^{-1/2} from a fitted MAGI_v2
-    model (host-side float64). Returns (W_band, info dict).
+    """Banded Cholesky factor U of the Gauss-Newton precision Lambda = U'U
+    from a fitted MAGI_v2 model (host-side float64). Returns (U_band, info).
 
-    Pipeline: banded GN precision (bandwidth bw_precision, default
-    D*(bandsize+1)) -> banded Cholesky Lambda ~= U'U (jitter-repaired;
-    band truncation can break PSD-ness) -> W = band_{bw_factor}(U^{-1}).
-    x = mu + W z is applied per leapfrog as one O(ND*b) block-banded
-    matvec (ops/banded.py); W is upper-triangular with positive diagonal,
-    hence exactly invertible — the posterior over X is IDENTICAL for any
-    bandwidth choice, only mixing quality varies.
+    The sampler whitens with z = U (x - mu): the whitened curvature is
+    U^{-T} Lambda U^{-1} = I IDENTICALLY. The unwhitening x = mu + U^{-1} z
+    is applied per leapfrog as an exact O(ND*b) block-banded back
+    substitution (ops.banded.block_banded_triangular_solve_upper) — NOT a
+    band-truncated inverse: U^{-1}'s columns decay far too slowly to
+    truncate (measured on Lorenz N_I=1025/bandsize=100: 92% of column norm
+    beyond distance 303; the truncated whitener left eig(W'LamW) spread
+    over 14 decades and rank-512 spectral repair still had cond ~2e3).
+
+    Pass C_inv_sqrts/K_inv_sqrts (the f64 clamped factors the banded target
+    evaluates t1/t2 through) so Lambda is the exact PSD GN curvature of
+    that target; bw_precision then defaults to Lambda's NATURAL bandwidth
+    4*D*bandsize (band(R)'band(R) doubles the per-component band, and the
+    K sandwich doubles it again) — no truncation of Lambda at all, so the
+    Cholesky needs no meaningful jitter. Without the factors, Lambda is
+    assembled from the raw band-truncated operators, which are indefinite
+    at dense-grid sizes (see gauss_newton_precision_band).
     """
-    from magi_v2_tpu.ops.banded_host import (
-        banded_cholesky_upper,
-        truncated_banded_triangular_inverse,
-    )
+    from magi_v2_tpu.ops.banded_host import banded_cholesky_upper
 
     N, D = model.mag_I, model.D
     bsize = model.BANDSIZE if model.BANDSIZE is not None else N - 1
     if bw_precision is None:
-        bw_precision = min(N * D - 1, D * (bsize + 1))
-    if bw_factor is None:
-        bw_factor = bw_precision
+        if C_inv_sqrts is not None:
+            bw_precision = min(N * D - 1, 4 * D * bsize)
+        else:
+            bw_precision = min(N * D - 1, D * (bsize + 1))
     obs_mask = (~np.isnan(model.X_obs_discret)).astype(np.float64)
     sigma = (
         model.sigma_sqs_init if sigma_sqs_init is None else sigma_sqs_init
@@ -263,51 +324,50 @@ def build_gn_whitening_banded(
     lam_band = gauss_newton_precision_band(
         model.C_d_invs, model.m_ds, model.K_d_invs, model.beta,
         obs_mask, sigma, J, bw_precision, comp_bandwidth=bsize,
+        C_inv_sqrts=C_inv_sqrts, K_inv_sqrts=K_inv_sqrts,
     )
     U_band, jitter = banded_cholesky_upper(lam_band)
-    W_band = truncated_banded_triangular_inverse(U_band, bw_factor)
-    return W_band, {
+    return U_band, {
         "jitter": jitter,
         "bw_precision": int(bw_precision),
-        "bw_factor": int(bw_factor),
     }
 
 
-def whiten_X_banded(X, mu_ds, W_band):
-    """z (N, D) from X (N, D): solve W z = (X - mu).ravel() (host, f64)."""
-    from magi_v2_tpu.ops.banded_host import solve_upper_banded
-
-    X = np.asarray(X, np.float64)
-    xc = (X - np.asarray(mu_ds, np.float64)[None, :]).reshape(-1)
-    return solve_upper_banded(np.asarray(W_band), xc).reshape(X.shape)
-
-
-def unwhiten_Z_banded(Z, mu_ds, W_blocks):
-    """X (..., N, D) from z (..., N, D): x = mu + W z.
-
-    W_blocks is in banded_to_blocks_upper layout (W is upper-triangular, so
-    the lower tiles are structurally zero and skipped)."""
+def whiten_X_banded(X, mu_ds, U_blocks):
+    """z (N, D) from X (N, D): z = U @ (X - mu).ravel() — one banded
+    matvec (U_blocks in banded_to_blocks_upper layout)."""
     from magi_v2_tpu.ops.banded import block_banded_matvec_upper
+
+    X = jnp.asarray(X)
+    xc = (X - jnp.asarray(mu_ds)[None, :]).reshape(-1)
+    return block_banded_matvec_upper(U_blocks, xc).reshape(X.shape)
+
+
+def unwhiten_Z_banded(Z, mu_ds, U_blocks):
+    """X (..., N, D) from z (..., N, D): x = mu + U^{-1} z via the exact
+    block-banded back substitution (U_blocks in banded_to_blocks_upper
+    layout)."""
+    from magi_v2_tpu.ops.banded import block_banded_triangular_solve_upper
 
     shape = Z.shape
     zf = Z.reshape(shape[:-2] + (-1,))
-    xc = block_banded_matvec_upper(W_blocks, zf)
+    xc = block_banded_triangular_solve_upper(U_blocks, zf)
     return xc.reshape(shape) + mu_ds
 
 
 def make_tempered_logp_grad_gn_banded(
-    data, f_vec, W_blocks, N_I: int, D: int, D_thetas: int
+    data, f_vec, U_blocks, N_I: int, D: int, D_thetas: int
 ):
     """GN-whitened fused evaluation with every operator O(ND * b):
-    x = mu + W z (one upper-triangular block-banded matvec; W_blocks in
-    banded_to_blocks_upper layout), t1 = ||V (x - mu)||^2 via the
-    per-component banded sqrt factors V of C^{-1} (float32-safe PSD
-    sums — no cancellation), t2 via the banded K^{-1} factors inside
-    log_posterior_given_t1. ``data`` must be a BandedPosteriorData with
-    C_sqrt_blocks/K_sqrt_blocks present."""
+    x = mu + U^{-1} z (exact block-banded back substitution against the
+    banded GN Cholesky factor U; whitened curvature = I identically),
+    t1 = ||V (x - mu)||^2 via the per-component banded sqrt factors V of
+    C^{-1} (float32-safe PSD sums — no cancellation), t2 via the banded
+    K^{-1} factors inside log_posterior_given_t1. ``data`` must be a
+    BandedPosteriorData with C_sqrt_blocks/K_sqrt_blocks present."""
     from magi_v2_tpu.ops.banded import (
         block_banded_matvec,
-        block_banded_matvec_upper,
+        block_banded_triangular_solve_upper,
     )
     from magi_v2_tpu.posterior import log_posterior_given_t1
     from magi_v2_tpu.sampler.magi_state import unflatten_state
@@ -321,7 +381,9 @@ def make_tempered_logp_grad_gn_banded(
 
     def lp(q, beta_temp):
         Z, sigma_pre, theta_pre = unflatten_state(q, N_I, D, D_thetas)
-        xc_flat = block_banded_matvec_upper(W_blocks, Z.reshape(-1))
+        xc_flat = block_banded_triangular_solve_upper(
+            U_blocks, Z.reshape(-1)
+        )
         Xc = xc_flat.reshape(N_I, D)
         X = Xc + data.mu_ds[None, :]
         t1 = jnp.sum(block_banded_matvec(data.C_sqrt_blocks, Xc.T) ** 2)

@@ -15,8 +15,6 @@ import pytest
 from magi_v2_tpu.ops.banded_host import (
     banded_cholesky_upper,
     dense_to_banded_np,
-    solve_upper_banded,
-    truncated_banded_triangular_inverse,
 )
 
 
@@ -65,35 +63,52 @@ def test_banded_cholesky_jitter_repairs_indefinite():
     np.testing.assert_allclose(U.T @ U, A, atol=1e-4 * w.max())
 
 
-def test_truncated_triangular_inverse_exact_at_full_bandwidth():
-    rng = np.random.default_rng(2)
-    A = random_spd_banded(rng, 40, 6)
-    U_band, _ = banded_cholesky_upper(dense_to_banded_np(A, 6))
-    W = band_to_dense(truncated_banded_triangular_inverse(U_band, 39, block=16))
-    np.testing.assert_allclose(W, np.linalg.inv(band_to_dense(U_band)), atol=1e-10)
-
-
-def test_truncated_triangular_inverse_kept_entries_exact():
-    rng = np.random.default_rng(3)
-    A = random_spd_banded(rng, 40, 6)
-    U_band, _ = banded_cholesky_upper(dense_to_banded_np(A, 6))
-    out_bw = 9
-    W = band_to_dense(
-        truncated_banded_triangular_inverse(U_band, out_bw, block=16)
+def test_block_banded_triangular_solve_matches_dense():
+    """The exact back substitution against a banded Cholesky factor — the
+    per-leapfrog unwhitening of the banded GN mode."""
+    from magi_v2_tpu.ops.banded import (
+        banded_to_blocks_upper,
+        block_banded_triangular_solve_upper,
+        dense_to_banded,
     )
-    U_inv = np.linalg.inv(band_to_dense(U_band))
-    i, j = np.meshgrid(np.arange(40), np.arange(40), indexing="ij")
-    kept = (j - i >= 0) & (j - i <= out_bw)
-    np.testing.assert_allclose(W, np.where(kept, U_inv, 0.0), atol=1e-12)
+
+    rng = np.random.default_rng(2)
+    for N, b in [(40, 6), (300, 37), (333, 150)]:
+        A = random_spd_banded(rng, N, b)
+        U_band, _ = banded_cholesky_upper(dense_to_banded_np(A, b))
+        U = band_to_dense(U_band)
+        blocks = banded_to_blocks_upper(jnp.asarray(dense_to_banded(U, b)))
+        y = rng.standard_normal((4, N))
+        x = np.asarray(
+            block_banded_triangular_solve_upper(blocks, jnp.asarray(y))
+        )
+        ref = np.linalg.solve(U, y.T).T
+        np.testing.assert_allclose(x, ref, atol=1e-8 * np.abs(ref).max())
 
 
-def test_solve_upper_banded_roundtrip():
-    rng = np.random.default_rng(4)
-    A = random_spd_banded(rng, 25, 4)
-    U_band, _ = banded_cholesky_upper(dense_to_banded_np(A, 4))
-    x = rng.standard_normal(25)
-    rhs = band_to_dense(U_band) @ x
-    np.testing.assert_allclose(solve_upper_banded(U_band, rhs), x, atol=1e-8)
+def test_block_banded_triangular_solve_grad():
+    from magi_v2_tpu.ops.banded import (
+        banded_to_blocks_upper,
+        block_banded_triangular_solve_upper,
+        dense_to_banded,
+    )
+
+    rng = np.random.default_rng(3)
+    N, b = 100, 11
+    A = random_spd_banded(rng, N, b)
+    U_band, _ = banded_cholesky_upper(dense_to_banded_np(A, b))
+    U = band_to_dense(U_band)
+    blocks = banded_to_blocks_upper(jnp.asarray(dense_to_banded(U, b)))
+    v = jnp.asarray(rng.standard_normal(N))
+
+    f = lambda y: jnp.sum(
+        v * block_banded_triangular_solve_upper(blocks, y)
+    )
+    y0 = jnp.asarray(rng.standard_normal(N))
+    g = np.asarray(jax.grad(f)(y0))
+    # d/dy v' U^{-1} y = U^{-T} v
+    ref = np.linalg.solve(U.T, np.asarray(v))
+    np.testing.assert_allclose(g, ref, atol=1e-8 * np.abs(ref).max())
 
 
 def test_block_banded_matvec_upper_matches_symmetric():
@@ -189,7 +204,7 @@ def test_banded_centered_equals_banded_precond_target(small_seir_model):
         make_tempered_logp_grad,
     )
     from magi_v2_tpu.sampler.precond import (
-        build_gn_whitening_banded,
+        build_gn_cholesky_banded,
         make_tempered_logp_grad_gn_banded,
         whiten_X_banded,
     )
@@ -209,19 +224,23 @@ def test_banded_centered_equals_banded_precond_target(small_seir_model):
     bdata = to_banded_data(
         data, m.BANDSIZE, C_inv_sqrts_f64=R64, K_inv_sqrts_f64=S64
     )
-    W_band, info = build_gn_whitening_banded(m)
-    W_blocks = jnp.asarray(banded_to_blocks_upper(jnp.asarray(W_band)), dtype)
+    U_band, info = build_gn_cholesky_banded(
+        m, C_inv_sqrts=R64, K_inv_sqrts=S64
+    )
+    assert info["jitter"] == 0.0  # PSD by construction from the factors
+    U_blocks = jnp.asarray(banded_to_blocks_upper(jnp.asarray(U_band)), dtype)
 
     lp_cent = make_tempered_logp_grad(bdata, seir_f_vec, m.mag_I, m.D, 3)
     lp_gn = make_tempered_logp_grad_gn_banded(
-        bdata, seir_f_vec, W_blocks, m.mag_I, m.D, 3
+        bdata, seir_f_vec, U_blocks, m.mag_I, m.D, 3
     )
 
     rng = np.random.default_rng(0)
     X = m.Xhat_init + 0.02 * rng.standard_normal(m.Xhat_init.shape)
     sig = jnp.asarray(rng.standard_normal(m.D) * 0.1 - 2.0, dtype)
     th = jnp.asarray(rng.standard_normal(3) * 0.1 + 1.0, dtype)
-    Z = whiten_X_banded(X, m.mu_ds, W_band)
+    Z = np.asarray(whiten_X_banded(jnp.asarray(X), jnp.asarray(m.mu_ds),
+                                   U_blocks))
 
     q_cent = flatten_state(jnp.asarray(X, dtype), sig, th)
     q_gn = flatten_state(jnp.asarray(Z, dtype), sig, th)
