@@ -354,10 +354,13 @@ class MAGI_v2:
         hmc_num_leapfrogs: int = 64,
         anneal_mode: str = "warmup_only",
         matmul_precision: str = "highest",
+        sigma_sqs_fixed=None,
     ):
         """Sample the posterior with annealed NUTS. Reference
         magi_v2.py:286-425; extensions: num_chains (vmapped chains),
-        init_jitter (per-chain X perturbation), seed.
+        init_jitter (per-chain X perturbation), seed, sigma_sqs_fixed
+        (treat the observation-noise variances as KNOWN — the original
+        magi package's useFixedSigma; scalar or (D,) array of variances).
 
         Returns the reference's results dict; with num_chains > 1 the
         ``*_samps`` arrays gain a chain axis at position 1.
@@ -388,7 +391,14 @@ class MAGI_v2:
         if sigma_sqs_LB is None:
             sigma_sqs_LB = (self.Xhat_init.std(axis=0) * cfg.sigma_sq_lb_scale) ** 2
         sigma_sqs_LB = np.broadcast_to(np.asarray(sigma_sqs_LB, np.float64),
-                                       (self.D,))
+                                       (self.D,)).copy()
+        if sigma_sqs_fixed is not None:
+            # keep the bound strictly below the known value so the softplus
+            # bijection can represent it (sigma^2 = softplus(pre) + LB)
+            sig_fix64 = np.broadcast_to(
+                np.asarray(sigma_sqs_fixed, np.float64), (self.D,)
+            )
+            sigma_sqs_LB = np.minimum(sigma_sqs_LB, 0.5 * sig_fix64)
 
         dtype = cfg.dtype
         if dtype == jnp.float64 and not jax.config.jax_enable_x64:
@@ -461,6 +471,8 @@ class MAGI_v2:
                 whiten_X_banded,
             )
 
+            from magi_v2_tpu.ops.banded import banded_diag_tile_inverses
+
             with self._setup_device_ctx():
                 # R64/S64 make Lambda the exact PSD GN curvature of the
                 # banded target (raw band-truncated operators are
@@ -471,10 +483,37 @@ class MAGI_v2:
                 U_blocks64 = np.asarray(
                     banded_to_blocks_upper(jnp.asarray(U_band))
                 )
+                # diagonal-tile inverses in f64: in-graph f32 solves on
+                # TPU ignore the matmul-precision pin (measured eps
+                # collapse — see banded_diag_tile_inverses)
+                U_dinv64 = np.asarray(
+                    banded_diag_tile_inverses(
+                        jnp.asarray(U_blocks64), self.mag_I * self.D
+                    )
+                )
             U_blocks = jnp.asarray(U_blocks64, dtype)
+            U_dinv = jnp.asarray(U_dinv64, dtype)
+            # relative-energy zero point (f32 safety at dense-grid |lp|
+            # ~1e7 — see posterior.RefPoint); built from the SAME
+            # band-truncated operators the banded target evaluates with
+            from magi_v2_tpu.posterior import make_ref_point
+
+            with self._setup_device_ctx():
+                _i, _j = np.meshgrid(
+                    np.arange(self.mag_I), np.arange(self.mag_I),
+                    indexing="ij",
+                )
+                _bmask = np.abs(_i - _j) <= self.BANDSIZE
+                ref = make_ref_point(
+                    self.I, self.Xhat_init, self.mu_ds, self.thetas_init,
+                    self.f_vec,
+                    np.where(_bmask[None], R64, 0.0),
+                    np.where(_bmask[None], S64, 0.0),
+                    self.m_ds, dtype,
+                )
             logp_grad = make_tempered_logp_grad_gn_banded(
                 data, self.f_vec, U_blocks, self.mag_I, self.D,
-                self.D_thetas,
+                self.D_thetas, diag_inv=U_dinv, ref=ref,
             )
         elif reparam == "precond":
             # full-state Gauss-Newton whitening; factors built host-side in
@@ -498,8 +537,18 @@ class MAGI_v2:
             L = jnp.asarray(np.asarray(L64), dtype)
             L_inv = jnp.asarray(np.asarray(L_inv64), dtype)
             A1 = jnp.asarray(np.asarray(A164), dtype)
+            # relative-energy zero point (f32 safety at dense-grid |lp|
+            # ~1e7 — see posterior.RefPoint)
+            from magi_v2_tpu.posterior import make_ref_point
+
+            with self._setup_device_ctx():
+                ref = make_ref_point(
+                    self.I, self.Xhat_init, self.mu_ds, self.thetas_init,
+                    self.f_vec, R64, S64, self.m_ds, dtype,
+                )
             logp_grad = make_tempered_logp_grad_gn(
-                data, self.f_vec, L, A1, self.mag_I, self.D, self.D_thetas
+                data, self.f_vec, L, A1, self.mag_I, self.D, self.D_thetas,
+                ref=ref,
             )
         elif reparam == "whitened":
             from magi_v2_tpu.sampler.magi_state import (
@@ -525,6 +574,26 @@ class MAGI_v2:
         else:
             raise ValueError(f"unknown reparam mode {reparam!r}")
 
+        if sigma_sqs_fixed is not None:
+            # Known observation noise (the original magi package's
+            # useFixedSigma, used by its Hes1 workload): pin the sigma_pre
+            # block of the state — the wrapped target substitutes the fixed
+            # values and zeroes their gradient, so the coordinates carry no
+            # potential. Under leapfrog a zero-force coordinate keeps its
+            # momentum exactly (its kinetic term contributes 0 to every
+            # energy DIFFERENCE), so acceptance is identical to a sampler
+            # without the coordinates.
+            _pre_fix = np.log(np.expm1(sig_fix64 - sigma_sqs_LB))
+            sig_pre_fix = jnp.asarray(_pre_fix, dtype)
+            _sig_lo = self.mag_I * self.D
+            _sig_hi = _sig_lo + self.D
+            _base_lp = logp_grad
+
+            def logp_grad(q, beta_temp, _blp=_base_lp):
+                qf = q.at[_sig_lo:_sig_hi].set(sig_pre_fix)
+                v, g = _blp(qf, beta_temp)
+                return v, g.at[_sig_lo:_sig_hi].set(0.0)
+
         # initial state in unconstrained space (magi_v2.py:374-383):
         # inverse-softplus where above the bound, else -5.0
         def pre_init(vals, lower):
@@ -535,7 +604,10 @@ class MAGI_v2:
             )
             return out
 
-        sigma_pre0 = pre_init(self.sigma_sqs_init, sigma_sqs_LB)
+        if sigma_sqs_fixed is not None:
+            sigma_pre0 = _pre_fix.copy()
+        else:
+            sigma_pre0 = pre_init(self.sigma_sqs_init, sigma_sqs_LB)
         theta_pre0 = pre_init(
             self.thetas_init, np.zeros_like(self.thetas_init)
         )
@@ -626,7 +698,10 @@ class MAGI_v2:
             # over draws: one full-batch dispatch at large N_I exceeds the
             # axon tunnel's dispatch limit (observed hang at N_I=1025)
             if reparam == "precond" and storage == "banded":
-                unw, factor = unwhiten_Z_banded, U_blocks
+                unw = lambda Z, mu, F: unwhiten_Z_banded(
+                    Z, mu, F[0], diag_inv=F[1]
+                )
+                factor = (U_blocks, U_dinv)
             elif reparam == "precond":
                 unw, factor = unwhiten_Z_full, L
             else:
@@ -649,7 +724,8 @@ class MAGI_v2:
                     bytes_per = (nb * nw * T + 2 * self.mag_I * self.D) * itemsize
                 else:
                     bytes_per = 3 * self.mag_I * self.D * itemsize
-                chunk_flops = int(5e11 // max(1, 2 * num_chains * factor.size))
+                factor_size = sum(f.size for f in jax.tree.leaves(factor))
+                chunk_flops = int(5e11 // max(1, 2 * num_chains * factor_size))
                 chunk_mem = int(1.5e9 // max(1, num_chains * bytes_per))
                 chunk = max(1, min(chunk_flops, chunk_mem))
                 # stage the z draws on host: keeping the full (T, C, ND)
@@ -675,7 +751,16 @@ class MAGI_v2:
             # overflow-safe: softplus(x) = x + log1p(exp(-x)) for large x
             return np.where(x > 30.0, x, np.log1p(np.exp(np.minimum(x, 30.0))))
 
-        sigma_sqs_samps = np_softplus(maybe_squeeze(sigma_pre_samps)) + sigma_sqs_LB
+        if sigma_sqs_fixed is not None:
+            # the sigma_pre coordinates were pinned (zero-potential); report
+            # the known values, not the dummy random walk
+            sigma_sqs_samps = np.broadcast_to(
+                sig_fix64, maybe_squeeze(sigma_pre_samps).shape
+            ).copy()
+        else:
+            sigma_sqs_samps = (
+                np_softplus(maybe_squeeze(sigma_pre_samps)) + sigma_sqs_LB
+            )
         thetas_samps = np_softplus(maybe_squeeze(theta_pre_samps))
 
         return {

@@ -281,30 +281,59 @@ def block_banded_quadratic_form(blocks, x):
     return jnp.sum(x * block_banded_matvec(blocks, x))
 
 
-def block_banded_triangular_solve_upper(blocks, y):
+def banded_diag_tile_inverses(blocks, N: int | None = None):
+    """(nb, T, T) inverses of the diagonal tiles of an upper block-banded
+    factor (banded_to_blocks_upper layout), for
+    block_banded_triangular_solve_upper.
+
+    Compute these ONCE at setup in float64 and cast: on TPU the fused
+    per-tile inverse-GEMM then runs at the matmul precision the caller
+    pins, whereas an in-graph triangular_solve is a monolithic XLA op
+    whose internal block expansion does NOT honor
+    ``jax.default_matmul_precision`` — measured on the banded GN sampler
+    at Lorenz N_I=1025: in-graph solves collapsed the adapted step size
+    to 1.6e-7 (bf16 internal passes at kappa(U) ~ 2e3), while the
+    f64-precomputed tile inverses behave like the CPU f64 oracle.
+
+    Rows at global index >= N (tile zero padding) get a unit diagonal so
+    the tile is invertible; the padded solution stays exactly 0.
+    """
+    blocks = jnp.asarray(blocks)
+    nb, T = blocks.shape[-4], blocks.shape[-2]
+    if N is None:
+        N = nb * T
+    q = jnp.arange(nb)[:, None]
+    r = jnp.arange(T)[None, :]
+    pad_fix = ((q * T + r) >= N).astype(blocks.dtype)   # (nb, T)
+    diag_tiles = (
+        blocks[:, 0]
+        + jnp.eye(T, dtype=blocks.dtype)[None] * pad_fix[:, :, None]
+    )
+    return jnp.linalg.inv(diag_tiles)
+
+
+def block_banded_triangular_solve_upper(blocks, y, diag_inv=None):
     """Solve U x = y for upper-triangular banded U in
     banded_to_blocks_upper layout; y: (*E, N).
 
     Back substitution over block rows as one lax.scan (sequential depth
-    nb = ceil(N/T)), each step: one batched (T, T) triangular solve plus
-    nwu-1 (T, T) GEMMs against the rolling buffer of already-solved
-    blocks — all batched over *E on the MXU.
+    nb = ceil(N/T)), each step: one (T, T) tile-inverse GEMM plus nwu-1
+    (T, T) GEMMs against the rolling buffer of already-solved blocks —
+    all batched over *E on the MXU.
 
     This is the EXACT unwhitening x = U^{-1} z for the banded
     Gauss-Newton Cholesky factor Lambda = U'U: unlike the band-truncated
     inverse W ~= band(U^{-1}), whose columns decay too slowly to truncate
     (measured on Lorenz N_I=1025: 92% of column norm beyond distance 303,
     leaving eig(W'LamW) spread over 14 decades), the solve gives
-    U^{-T} Lambda U^{-1} = I identically. f32-safe: the solve's error is
-    ~kappa(U)*eps = sqrt(kappa(Lambda))*eps ~ 2e3 * 6e-8 ~ 1e-4 relative
-    (kappa(Lambda) measured 5e6).
+    U^{-T} Lambda U^{-1} = I identically. f32-safe WHEN the diagonal-tile
+    inverses are precomputed in f64 (banded_diag_tile_inverses — see its
+    docstring for the TPU precision trap this avoids): error
+    ~kappa(U)*eps_f32 = sqrt(kappa(Lambda))*eps ~ 2e3 * 6e-8 ~ 1e-4
+    relative (kappa(Lambda) measured 5e6).
 
-    Cost per apply: O(N * b * T) MACs + nb-deep sequential chain. Zero
-    padding rows (beyond N) get unit diagonal so the padded solve is
-    well-posed; their solution is exactly 0.
+    Cost per apply: O(N * b * T) MACs + nb-deep sequential chain.
     """
-    from jax.scipy.linalg import solve_triangular
-
     blocks = jnp.asarray(blocks)
     y = jnp.asarray(y)
     nb, nwu, T = blocks.shape[-4], blocks.shape[-3], blocks.shape[-2]
@@ -316,25 +345,23 @@ def block_banded_triangular_solve_upper(blocks, y):
     yb = jnp.pad(yf, ((0, 0), (0, pad_tail))).reshape(B, nb, T)
     yb = jnp.swapaxes(yb, 0, 1)                     # (nb, B, T)
 
-    # unit diagonal on padding rows (i >= N): keeps the tile invertible
-    q = jnp.arange(nb)[:, None]
-    r = jnp.arange(T)[None, :]
-    pad_fix = ((q * T + r) >= N).astype(blocks.dtype)   # (nb, T)
-    diag_tiles = blocks[:, 0] + jnp.eye(T, dtype=blocks.dtype)[None] * pad_fix[:, :, None]
+    if diag_inv is None:
+        diag_inv = banded_diag_tile_inverses(blocks, N)
+    diag_inv = jnp.asarray(diag_inv, blocks.dtype)
 
     off_tiles = blocks[:, 1:]                        # (nb, nwu-1, T, T)
 
     def step(buf, inputs):
         # buf: (B, nwu-1, T) = [x_{i+1}, ..., x_{i+nwu-1}]
-        d_tile, o_tiles, y_i = inputs
+        d_inv, o_tiles, y_i = inputs
         contrib = jnp.einsum("src,bsc->br", o_tiles, buf)
-        x_i = solve_triangular(d_tile, (y_i - contrib).T, lower=False).T
+        x_i = jnp.einsum("rc,bc->br", d_inv, y_i - contrib)
         buf = jnp.concatenate([x_i[:, None, :], buf[:, :-1, :]], axis=1)
         return buf, x_i
 
     buf0 = jnp.zeros((B, max(nwu - 1, 1), T), blocks.dtype)
     _, xs = jax.lax.scan(
-        step, buf0, (diag_tiles, off_tiles, yb), reverse=True
+        step, buf0, (diag_inv, off_tiles, yb), reverse=True
     )                                                # (nb, B, T)
     x = jnp.swapaxes(xs, 0, 1).reshape(B, nb * T)[:, :N]
     return x.reshape(E + (N,))

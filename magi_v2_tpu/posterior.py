@@ -59,6 +59,57 @@ class PosteriorData(NamedTuple):
     K_inv_sqrts: jax.Array = None
 
 
+class RefPoint(NamedTuple):
+    """Zero-point for RELATIVE energy evaluation (float32 safety at scale).
+
+    At dense grids the absolute log-posterior magnitude reaches ~1e7
+    (measured on Lorenz N_I=1025: the GP-prior quadratic of the init
+    trajectory dominates), so float32 round-off of the SUMS injects O(10)
+    energy noise (std(lp32-lp64) = 12.6 measured) and dual averaging
+    collapses the step size ~100x below the f64 value. MCMC only needs the
+    log-posterior up to a constant: with this f64-precomputed reference
+    point, the big quadratics evaluate as exact differences
+
+        t1 - t1(x0)        = sum Rd * (Rd + 2 a0),   Rd = R (x - x0)
+        t2 - t2(x0,theta0) = sum Ds * (Ds + 2 s0),
+              Ds = S dr,  dr = (f(x,theta) - f0) - m (x - x0)
+
+    whose float32 error scales with the energy VARIATION, not the total.
+    All arrays must be computed with EXACTLY the operators (band-truncated
+    where applicable) the sampler evaluates with, in float64, then cast.
+    """
+
+    x0: jax.Array    # (N, D)  reference trajectories (the smoothed init)
+    a0: jax.Array    # (D, N)  R (x0 - mu)
+    f0: jax.Array    # (D, N)  f(I, x0, theta0)^T
+    mx0: jax.Array   # (D, N)  m (x0 - mu)
+    s0: jax.Array    # (D, N)  S (f0 - mx0)
+
+
+def make_ref_point(I, x0, mu_ds, thetas0, f_vec, R64, S64, m64, dtype):
+    """Build a RefPoint in float64 (see RefPoint) and cast to ``dtype``.
+
+    R64/S64/m64 must be the float64 twins of the operators the sampler's
+    data actually contains (band-truncated for the banded storage mode) —
+    otherwise the relative identities do not hold exactly.
+    """
+    x0 = np.asarray(x0, np.float64)
+    R64 = np.asarray(R64, np.float64)
+    S64 = np.asarray(S64, np.float64)
+    m64 = np.asarray(m64, np.float64)
+    xc = (x0 - np.asarray(mu_ds, np.float64)[None, :]).T          # (D, N)
+    a0 = np.einsum("dnm,dm->dn", R64, xc)
+    f0 = np.asarray(
+        f_vec(jnp.asarray(I), jnp.asarray(x0), jnp.asarray(np.asarray(thetas0, np.float64))),
+        np.float64,
+    ).T
+    mx0 = np.einsum("dnm,dm->dn", m64, xc)
+    s0 = np.einsum("dnm,dm->dn", S64, f0 - mx0)
+    asd = lambda a: jnp.asarray(a, dtype)
+    return RefPoint(x0=asd(x0), a0=asd(a0), f0=asd(f0), mx0=asd(mx0),
+                    s0=asd(s0))
+
+
 def make_posterior_data(
     I, C_invs, m_ds, K_invs, mu_ds, beta, obs_index, sigma_sqs_LB, dtype,
     C_inv_sqrts=None, K_inv_sqrts=None,
@@ -184,6 +235,7 @@ def log_posterior_given_t1(
     thetas_pre: jax.Array,
     beta_temp: jax.Array,
     t1: jax.Array,
+    ref: RefPoint = None,
 ) -> jax.Array:
     """Tempered log-posterior with the GP-prior quadratic t1 supplied.
 
@@ -191,6 +243,11 @@ def log_posterior_given_t1(
     x' C^{-1} x form sums ~1e8-magnitude terms with massive cancellation,
     which destroys float32 energies (measured: NUTS acceptance -> 0 on TPU);
     z-space forms are well-conditioned.
+
+    With ``ref``, t2 is evaluated RELATIVE to the reference point (see
+    RefPoint — the caller must then supply a relative t1 as well); the
+    result differs from the absolute log-posterior by a constant, which
+    MCMC never sees.
     """
     sigma_sqs = softplus(sigma_sqs_pre) + data.sigma_sqs_LB
     thetas = softplus(thetas_pre)
@@ -200,17 +257,37 @@ def log_posterior_given_t1(
     beta_temp = jax.lax.stop_gradient(beta_temp)
     X_cent = (X - data.mu_ds[None, :]).T
 
-    if isinstance(data, BandedPosteriorData):
+    banded = isinstance(data, BandedPosteriorData)
+    if banded:
         from magi_v2_tpu.ops.banded import block_banded_matvec
 
-        f_vals = f_vec(data.I, X, thetas).T
+    f_vals = f_vec(data.I, X, thetas).T
+    if ref is not None:
+        # relative form: dr = (f - f0) - m (x - x0); Ds = S dr;
+        # t2_rel = sum Ds (Ds + 2 s0)  [== t2 - t2(ref), exactly]
+        delta = (X - ref.x0).T
+        if banded:
+            if data.K_sqrt_blocks is None:
+                raise ValueError("relative t2 needs the banded sqrt factors")
+            dr = (f_vals - ref.f0) - block_banded_matvec(
+                data.m_blocks, delta
+            )
+            Ds = block_banded_matvec(data.K_sqrt_blocks, dr)
+        else:
+            if data.K_inv_sqrts is None:
+                raise ValueError("relative t2 needs K_inv_sqrts")
+            dr = (f_vals - ref.f0) - jnp.einsum(
+                "dnm,dm->dn", data.m_ds, delta
+            )
+            Ds = jnp.einsum("dnm,dm->dn", data.K_inv_sqrts, dr)
+        t2 = jnp.sum(Ds * (Ds + 2.0 * ref.s0))
+    elif banded:
         resid = f_vals - block_banded_matvec(data.m_blocks, X_cent)
         if data.K_sqrt_blocks is not None:
             t2 = jnp.sum(block_banded_matvec(data.K_sqrt_blocks, resid) ** 2)
         else:
             t2 = jnp.sum(resid * block_banded_matvec(data.K_blocks, resid))
     else:
-        f_vals = f_vec(data.I, X, thetas).T
         resid = f_vals - jnp.einsum("dnm,dm->dn", data.m_ds, X_cent)
         if data.K_inv_sqrts is not None:
             t2 = jnp.sum(jnp.einsum("dnm,dm->dn", data.K_inv_sqrts, resid) ** 2)

@@ -343,20 +343,22 @@ def whiten_X_banded(X, mu_ds, U_blocks):
     return block_banded_matvec_upper(U_blocks, xc).reshape(X.shape)
 
 
-def unwhiten_Z_banded(Z, mu_ds, U_blocks):
+def unwhiten_Z_banded(Z, mu_ds, U_blocks, diag_inv=None):
     """X (..., N, D) from z (..., N, D): x = mu + U^{-1} z via the exact
     block-banded back substitution (U_blocks in banded_to_blocks_upper
-    layout)."""
+    layout; diag_inv from ops.banded.banded_diag_tile_inverses, computed
+    in f64 at setup — see its docstring for the TPU precision trap)."""
     from magi_v2_tpu.ops.banded import block_banded_triangular_solve_upper
 
     shape = Z.shape
     zf = Z.reshape(shape[:-2] + (-1,))
-    xc = block_banded_triangular_solve_upper(U_blocks, zf)
+    xc = block_banded_triangular_solve_upper(U_blocks, zf, diag_inv=diag_inv)
     return xc.reshape(shape) + mu_ds
 
 
 def make_tempered_logp_grad_gn_banded(
-    data, f_vec, U_blocks, N_I: int, D: int, D_thetas: int
+    data, f_vec, U_blocks, N_I: int, D: int, D_thetas: int, diag_inv=None,
+    ref=None,
 ):
     """GN-whitened fused evaluation with every operator O(ND * b):
     x = mu + U^{-1} z (exact block-banded back substitution against the
@@ -364,7 +366,13 @@ def make_tempered_logp_grad_gn_banded(
     t1 = ||V (x - mu)||^2 via the per-component banded sqrt factors V of
     C^{-1} (float32-safe PSD sums — no cancellation), t2 via the banded
     K^{-1} factors inside log_posterior_given_t1. ``data`` must be a
-    BandedPosteriorData with C_sqrt_blocks/K_sqrt_blocks present."""
+    BandedPosteriorData with C_sqrt_blocks/K_sqrt_blocks present.
+
+    With ``ref`` (posterior.RefPoint built from the band-truncated f64
+    operators), t1/t2 evaluate RELATIVE to the reference point — required
+    at dense-grid scale where the absolute energies reach ~1e7 and their
+    float32 round-off alone collapses the adapted step size (measured:
+    Lorenz N_I=1025 eps 1.5e-5 -> the f64-scale 1e-3 after this change)."""
     from magi_v2_tpu.ops.banded import (
         block_banded_matvec,
         block_banded_triangular_solve_upper,
@@ -382,13 +390,19 @@ def make_tempered_logp_grad_gn_banded(
     def lp(q, beta_temp):
         Z, sigma_pre, theta_pre = unflatten_state(q, N_I, D, D_thetas)
         xc_flat = block_banded_triangular_solve_upper(
-            U_blocks, Z.reshape(-1)
+            U_blocks, Z.reshape(-1), diag_inv=diag_inv
         )
         Xc = xc_flat.reshape(N_I, D)
         X = Xc + data.mu_ds[None, :]
-        t1 = jnp.sum(block_banded_matvec(data.C_sqrt_blocks, Xc.T) ** 2)
+        if ref is None:
+            t1 = jnp.sum(block_banded_matvec(data.C_sqrt_blocks, Xc.T) ** 2)
+        else:
+            Rd = block_banded_matvec(
+                data.C_sqrt_blocks, (X - ref.x0).T
+            )
+            t1 = jnp.sum(Rd * (Rd + 2.0 * ref.a0))
         return log_posterior_given_t1(
-            data, f_vec, X, sigma_pre, theta_pre, beta_temp, t1
+            data, f_vec, X, sigma_pre, theta_pre, beta_temp, t1, ref=ref
         )
 
     vag = jax.value_and_grad(lp, argnums=0)
@@ -400,20 +414,32 @@ def make_tempered_logp_grad_gn_banded(
 
 
 def make_tempered_logp_grad_gn(
-    data, f_vec, L, A1, N_I: int, D: int, D_thetas: int
+    data, f_vec, L, A1, N_I: int, D: int, D_thetas: int, ref=None
 ):
     """Fused evaluation in GN-whitened coordinates; t1 = z' A1 z (see
-    build_gn_whitening for why this form is float32-safe)."""
+    build_gn_whitening for why this form is float32-safe).
+
+    With ``ref`` (posterior.RefPoint), t1 is instead evaluated relative to
+    the reference point through the factored form (needs data.C_inv_sqrts)
+    and t2 relative inside log_posterior_given_t1 — the float32 answer at
+    dense-grid energy magnitudes (see RefPoint)."""
     from magi_v2_tpu.posterior import log_posterior_given_t1
     from magi_v2_tpu.sampler.magi_state import unflatten_state
+
+    if ref is not None and data.C_inv_sqrts is None:
+        raise ValueError("relative t1 needs data.C_inv_sqrts")
 
     def lp(q, beta_temp):
         Z, sigma_pre, theta_pre = unflatten_state(q, N_I, D, D_thetas)
         X = unwhiten_Z_full(Z, data.mu_ds, L)
-        zf = Z.reshape(-1)
-        t1 = zf @ (A1 @ zf)
+        if ref is None:
+            zf = Z.reshape(-1)
+            t1 = zf @ (A1 @ zf)
+        else:
+            Rd = jnp.einsum("dnm,dm->dn", data.C_inv_sqrts, (X - ref.x0).T)
+            t1 = jnp.sum(Rd * (Rd + 2.0 * ref.a0))
         return log_posterior_given_t1(
-            data, f_vec, X, sigma_pre, theta_pre, beta_temp, t1
+            data, f_vec, X, sigma_pre, theta_pre, beta_temp, t1, ref=ref
         )
 
     vag = jax.value_and_grad(lp, argnums=0)
