@@ -355,6 +355,7 @@ class MAGI_v2:
         anneal_mode: str = "warmup_only",
         matmul_precision: str = "highest",
         sigma_sqs_fixed=None,
+        map_warmstart_iters: int = 0,
     ):
         """Sample the posterior with annealed NUTS. Reference
         magi_v2.py:286-425; extensions: num_chains (vmapped chains),
@@ -511,9 +512,20 @@ class MAGI_v2:
                     np.where(_bmask[None], S64, 0.0),
                     self.m_ds, dtype,
                 )
+            with self._setup_device_ctx():
+                # z0 = U (x0 - mu) in f64: the sampler works with the
+                # whitened deviation z - z0 (see the lp builder)
+                z064 = np.asarray(
+                    whiten_X_banded(
+                        jnp.asarray(self.Xhat_init),
+                        jnp.asarray(self.mu_ds),
+                        jnp.asarray(U_blocks64),
+                    )
+                )
+            z0 = jnp.asarray(z064.reshape(-1), dtype)
             logp_grad = make_tempered_logp_grad_gn_banded(
                 data, self.f_vec, U_blocks, self.mag_I, self.D,
-                self.D_thetas, diag_inv=U_dinv, ref=ref,
+                self.D_thetas, diag_inv=U_dinv, ref=ref, z0=z0,
             )
         elif reparam == "precond":
             # full-state Gauss-Newton whitening; factors built host-side in
@@ -546,9 +558,18 @@ class MAGI_v2:
                     self.I, self.Xhat_init, self.mu_ds, self.thetas_init,
                     self.f_vec, R64, S64, self.m_ds, dtype,
                 )
+            with self._setup_device_ctx():
+                z064 = np.asarray(
+                    whiten_X_full(
+                        jnp.asarray(np.asarray(self.Xhat_init, np.float64)),
+                        jnp.asarray(np.asarray(self.mu_ds, np.float64)),
+                        jnp.asarray(np.asarray(L_inv64)),
+                    )
+                )
+            z0 = jnp.asarray(z064.reshape(-1), dtype)
             logp_grad = make_tempered_logp_grad_gn(
                 data, self.f_vec, L, A1, self.mag_I, self.D, self.D_thetas,
-                ref=ref,
+                ref=ref, z0=z0,
             )
         elif reparam == "whitened":
             from magi_v2_tpu.sampler.magi_state import (
@@ -611,24 +632,12 @@ class MAGI_v2:
         theta_pre0 = pre_init(
             self.thetas_init, np.zeros_like(self.thetas_init)
         )
-        if reparam == "precond" and storage == "banded":
-            # z0 = U (x0 - mu): one f64 banded matvec
-            with self._setup_device_ctx():
-                X0 = jnp.asarray(
-                    np.asarray(
-                        whiten_X_banded(
-                            jnp.asarray(self.Xhat_init),
-                            jnp.asarray(self.mu_ds),
-                            jnp.asarray(U_blocks64),
-                        )
-                    ),
-                    dtype,
-                )
+        if reparam == "precond":
+            # chains start at z0 (computed above in f64)
+            X0 = jnp.asarray(z064, dtype)
         else:
             X0 = jnp.asarray(self.Xhat_init, dtype)
-            if reparam == "precond":
-                X0 = whiten_X_full(X0, data.mu_ds, L_inv)
-            elif reparam == "whitened":
+            if reparam == "whitened":
                 X0 = whiten_X(X0, data.mu_ds, L_inv)
         q0 = np.asarray(
             flatten_state(
@@ -637,6 +646,41 @@ class MAGI_v2:
                 jnp.asarray(theta_pre0, dtype),
             )
         )
+        if map_warmstart_iters:
+            # MAP polish: gradient-ascend the ACTUAL (untempered) posterior
+            # from the heuristic init before sampling. The gradient-matching
+            # init can violate the manifold constraint badly where the
+            # fitted lengthscales are long (measured Hes1: t2 drops 284k ->
+            # ~8k scale, lp(init) -24274 vs lp(truth) -808) and chains then
+            # wander off before finding the basin. Runs in the sampler's
+            # own (whitened) coordinates, so it is well-conditioned by the
+            # same GN factor that preconditions sampling.
+            import optax
+
+            _opt = optax.adam(cfg.init_learning_rate, eps=1e-7)
+
+            @jax.jit
+            def _polish(q):
+                st = _opt.init(q)
+
+                def _step(carry, _):
+                    q, st = carry
+                    v, g = logp_grad(q, jnp.asarray(1.0, dtype))
+                    upd, st = _opt.update(jax.tree.map(jnp.negative, g), st)
+                    return (optax.apply_updates(q, upd), st), v
+
+                (q, _), vals = jax.lax.scan(
+                    _step, (q, st), None, length=map_warmstart_iters
+                )
+                return q, vals
+
+            _q, _vals = _polish(jnp.asarray(q0))
+            q0 = np.asarray(_q)
+            if verbose:
+                print(
+                    f"[map_warmstart] logp {float(_vals[0]):.1f} -> "
+                    f"{float(_vals[-1]):.1f} over {map_warmstart_iters} steps"
+                )
         q0 = np.broadcast_to(q0, (num_chains, q0.shape[0])).copy()
         if init_jitter > 0.0 and num_chains > 1:
             rng = np.random.default_rng(seed + 1)

@@ -40,9 +40,41 @@ class FourierPrior(NamedTuple):
     sd_phi2s: np.ndarray  # (D,) prior sd for phi2
 
 
-def fourier_prior(X_filled: np.ndarray) -> FourierPrior:
-    """Spectral-mass-weighted mean frequency -> phi2 prior (magi_v2.py:549-565)."""
+def fourier_prior(X_filled: np.ndarray, t_range: float = 1.0) -> FourierPrior:
+    """Spectral-mass-weighted mean frequency -> phi2 prior (magi_v2.py:549-565).
+
+    Deviation by intent (DEVIATIONS.md): the reference computes the prior
+    mean as 0.5/freq with freq in CYCLES PER RECORD — i.e. in units of the
+    record length — and its sd as (1 - mu)/3, which is only sensible when
+    the time span is O(1) (negative for mu > 1!). On the Hes1 workload
+    (t in [0, 240] min, ~120 min oscillation) the index-unit prior pins
+    phi2 ~ 0.2 min, 40x below the observation spacing: the GP becomes
+    white noise, the conditional-derivative operators carry no
+    information, and the theta posterior opens up along parameter ridges
+    (measured: b, c drift to 3.5x truth with the combination b*mean(M/P)-c
+    preserved, even from oracle inits). The profile likelihood prefers
+    phi2 ~ 25-40 min by ~28 nats but loses to thousands of nats of prior.
+    The repair is RESOLUTION-GATED to stay reference-compatible on the
+    reference's own workloads: the reference value 0.5/freq (read as
+    absolute time) is kept — with its (1 - mu)/3 sd where that is
+    positive — whenever it is resolvable by the data, i.e. at least twice
+    the mean sampling interval. Only when the reference value is
+    SUB-RESOLUTION (the Hes1 failure: a lengthscale the grid cannot even
+    represent) does the prior switch to physical units, a quarter of the
+    spectral-mean wavelength (0.25 * t_range / freq) with a 50%-relative
+    sd. Measured motivations for the gate: unconditionally converting to
+    time units doubles the SEIR lengthscales (kappa(C) 1.5e8 -> 2.8e9),
+    which tripled bench R-hat and introduced 2-7% divergence rates, while
+    the reference operating point reproduces the published recovery with
+    zero divergences; on Hes1 the corrected value 0.25*240/2.4 = 25 min
+    sits inside the likelihood-preferred 25-40 band (the reference value
+    0.21 min loses ~28 nats of profile likelihood and opens theta
+    ridges).
+    """
     X_filled = np.asarray(X_filled)
+    t_range = float(t_range) if t_range else 1.0
+    n = X_filled.shape[0]
+    spacing = t_range / max(n - 1, 1)
     mu_ds, mu_phi2s, sd_phi2s = [], [], []
     for d in range(X_filled.shape[1]):
         z = np.fft.fft(X_filled[:, d])
@@ -51,10 +83,16 @@ def fourier_prior(X_filled: np.ndarray) -> FourierPrior:
         zmod_eff_sq = zmod_eff ** 2
         idxs = np.linspace(1, len(zmod_eff), len(zmod_eff))
         freq = np.sum(idxs * zmod_eff_sq) / np.sum(zmod_eff_sq)
-        mu_phi2 = 0.5 / freq
+        mu_ref = 0.5 / freq                  # reference, absolute time
+        if mu_ref >= 2.0 * spacing:
+            mu_phi2 = mu_ref
+            sd = (1.0 - mu_ref) / 3.0 if mu_ref < 1.0 else mu_ref / 2.0
+        else:
+            mu_phi2 = 0.25 * t_range / freq  # physical-unit correction
+            sd = mu_phi2 / 2.0
         mu_ds.append(X_filled[:, d].mean())
         mu_phi2s.append(mu_phi2)
-        sd_phi2s.append((1.0 - mu_phi2) / 3.0)
+        sd_phi2s.append(sd)
     return FourierPrior(np.array(mu_ds), np.array(mu_phi2s), np.array(sd_phi2s))
 
 
@@ -144,7 +182,8 @@ def fit_kernel_hparams(
     Returns dict with "phi1s", "phi2s", "sigma_sqs" (host NumPy), matching
     the reference's return signature (magi_v2.py:689-691).
     """
-    prior = fourier_prior(X_filled)
+    _I = np.asarray(I).reshape(-1)
+    prior = fourier_prior(X_filled, t_range=float(_I[-1] - _I[0]))
     neg_map, params = make_hparam_objective(
         I, X_filled, prior, nu, jitter=cholesky_jitter
     )

@@ -236,6 +236,7 @@ def log_posterior_given_t1(
     beta_temp: jax.Array,
     t1: jax.Array,
     ref: RefPoint = None,
+    delta=None,
 ) -> jax.Array:
     """Tempered log-posterior with the GP-prior quadratic t1 supplied.
 
@@ -247,7 +248,11 @@ def log_posterior_given_t1(
     With ``ref``, t2 is evaluated RELATIVE to the reference point (see
     RefPoint — the caller must then supply a relative t1 as well); the
     result differs from the absolute log-posterior by a constant, which
-    MCMC never sees.
+    MCMC never sees. ``delta`` (N, D) optionally supplies x - x0 computed
+    accurately in the caller's own coordinates (e.g. delta = U^{-1}(z-z0)):
+    the float32 subtraction X - x0 loses all relative accuracy when the
+    deviation is small against |x| ~ 30, and the resulting absolute x-noise
+    couples to the large GP-prior gradient at the reference point.
     """
     sigma_sqs = softplus(sigma_sqs_pre) + data.sigma_sqs_LB
     thetas = softplus(thetas_pre)
@@ -265,7 +270,7 @@ def log_posterior_given_t1(
     if ref is not None:
         # relative form: dr = (f - f0) - m (x - x0); Ds = S dr;
         # t2_rel = sum Ds (Ds + 2 s0)  [== t2 - t2(ref), exactly]
-        delta = (X - ref.x0).T
+        delta = (X - ref.x0).T if delta is None else delta.T
         if banded:
             if data.K_sqrt_blocks is None:
                 raise ValueError("relative t2 needs the banded sqrt factors")

@@ -358,7 +358,7 @@ def unwhiten_Z_banded(Z, mu_ds, U_blocks, diag_inv=None):
 
 def make_tempered_logp_grad_gn_banded(
     data, f_vec, U_blocks, N_I: int, D: int, D_thetas: int, diag_inv=None,
-    ref=None,
+    ref=None, z0=None,
 ):
     """GN-whitened fused evaluation with every operator O(ND * b):
     x = mu + U^{-1} z (exact block-banded back substitution against the
@@ -387,22 +387,34 @@ def make_tempered_logp_grad_gn_banded(
             "K_inv_sqrts_f64=...)"
         )
 
+    if (ref is None) != (z0 is None):
+        raise ValueError("ref and z0 must be supplied together")
+
     def lp(q, beta_temp):
         Z, sigma_pre, theta_pre = unflatten_state(q, N_I, D, D_thetas)
-        xc_flat = block_banded_triangular_solve_upper(
-            U_blocks, Z.reshape(-1), diag_inv=diag_inv
-        )
-        Xc = xc_flat.reshape(N_I, D)
-        X = Xc + data.mu_ds[None, :]
         if ref is None:
-            t1 = jnp.sum(block_banded_matvec(data.C_sqrt_blocks, Xc.T) ** 2)
-        else:
-            Rd = block_banded_matvec(
-                data.C_sqrt_blocks, (X - ref.x0).T
+            xc_flat = block_banded_triangular_solve_upper(
+                U_blocks, Z.reshape(-1), diag_inv=diag_inv
             )
-            t1 = jnp.sum(Rd * (Rd + 2.0 * ref.a0))
+            Xc = xc_flat.reshape(N_I, D)
+            X = Xc + data.mu_ds[None, :]
+            t1 = jnp.sum(block_banded_matvec(data.C_sqrt_blocks, Xc.T) ** 2)
+            return log_posterior_given_t1(
+                data, f_vec, X, sigma_pre, theta_pre, beta_temp, t1
+            )
+        # delta = U^{-1}(z - z0): the solve acts on the SMALL whitened
+        # deviation, so delta is relatively accurate in f32; forming
+        # x = U^{-1} z and subtracting x0 instead puts absolute x-noise
+        # (kappa(U)*eps32*|x|) against the huge GP-prior gradient at x0
+        delta = block_banded_triangular_solve_upper(
+            U_blocks, Z.reshape(-1) - z0, diag_inv=diag_inv
+        ).reshape(N_I, D)
+        X = ref.x0 + delta
+        Rd = block_banded_matvec(data.C_sqrt_blocks, delta.T)
+        t1 = jnp.sum(Rd * (Rd + 2.0 * ref.a0))
         return log_posterior_given_t1(
-            data, f_vec, X, sigma_pre, theta_pre, beta_temp, t1, ref=ref
+            data, f_vec, X, sigma_pre, theta_pre, beta_temp, t1,
+            ref=ref, delta=delta,
         )
 
     vag = jax.value_and_grad(lp, argnums=0)
@@ -414,7 +426,7 @@ def make_tempered_logp_grad_gn_banded(
 
 
 def make_tempered_logp_grad_gn(
-    data, f_vec, L, A1, N_I: int, D: int, D_thetas: int, ref=None
+    data, f_vec, L, A1, N_I: int, D: int, D_thetas: int, ref=None, z0=None
 ):
     """Fused evaluation in GN-whitened coordinates; t1 = z' A1 z (see
     build_gn_whitening for why this form is float32-safe).
@@ -428,18 +440,27 @@ def make_tempered_logp_grad_gn(
 
     if ref is not None and data.C_inv_sqrts is None:
         raise ValueError("relative t1 needs data.C_inv_sqrts")
+    if (ref is None) != (z0 is None):
+        raise ValueError("ref and z0 must be supplied together")
 
     def lp(q, beta_temp):
         Z, sigma_pre, theta_pre = unflatten_state(q, N_I, D, D_thetas)
-        X = unwhiten_Z_full(Z, data.mu_ds, L)
         if ref is None:
+            X = unwhiten_Z_full(Z, data.mu_ds, L)
             zf = Z.reshape(-1)
             t1 = zf @ (A1 @ zf)
-        else:
-            Rd = jnp.einsum("dnm,dm->dn", data.C_inv_sqrts, (X - ref.x0).T)
-            t1 = jnp.sum(Rd * (Rd + 2.0 * ref.a0))
+            return log_posterior_given_t1(
+                data, f_vec, X, sigma_pre, theta_pre, beta_temp, t1
+            )
+        # delta = L (z - z0): matvec of the SMALL whitened deviation (see
+        # the banded builder for why x - x0 in f32 is not an option)
+        delta = (L @ (Z.reshape(-1) - z0)).reshape(N_I, D)
+        X = ref.x0 + delta
+        Rd = jnp.einsum("dnm,dm->dn", data.C_inv_sqrts, delta.T)
+        t1 = jnp.sum(Rd * (Rd + 2.0 * ref.a0))
         return log_posterior_given_t1(
-            data, f_vec, X, sigma_pre, theta_pre, beta_temp, t1, ref=ref
+            data, f_vec, X, sigma_pre, theta_pre, beta_temp, t1,
+            ref=ref, delta=delta,
         )
 
     vag = jax.value_and_grad(lp, argnums=0)

@@ -34,11 +34,31 @@ def gp_draws():
 
 def test_fourier_prior_shapes_and_sanity(gp_draws):
     I, X, _ = gp_draws
-    prior = fourier_prior(X)
+    t_range = I[-1] - I[0]
+    prior = fourier_prior(X, t_range=t_range)
     assert prior.mu_ds.shape == (2,)
     np.testing.assert_allclose(prior.mu_ds, X.mean(axis=0))
     assert np.all(prior.mu_phi2s > 0)
-    assert np.all(prior.mu_phi2s < 1)
+    assert np.all(prior.mu_phi2s < t_range)
+    assert np.all(prior.sd_phi2s > 0)
+
+
+def test_fourier_prior_resolution_gate(gp_draws):
+    """Reference-compatible where the reference's index-unit value is
+    resolvable; physical-unit correction where it is sub-resolution
+    (the Hes1 failure: lengthscale pinned 40x below the observation
+    spacing — DEVIATIONS.md #5)."""
+    _, X, _ = gp_draws
+    # t_range=4, n=120: spacing 0.034, mu_ref ~ 0.5/freq >> 2*spacing ->
+    # the reference value, unchanged
+    p_ref = fourier_prior(X, t_range=4.0)
+    assert np.all(p_ref.mu_phi2s < 1.0)
+    # t_range=240 (Hes1-like): spacing ~2, the reference value ~0.2 is
+    # sub-resolution -> corrected to quarter mean wavelength (x120 the
+    # reference value: 0.25*t/f vs 0.5/f)
+    p_cor = fourier_prior(X, t_range=240.0)
+    np.testing.assert_allclose(p_cor.mu_phi2s, p_ref.mu_phi2s * 120.0)
+    np.testing.assert_allclose(p_cor.sd_phi2s, p_cor.mu_phi2s / 2.0)
 
 
 def test_mle_recovers_known_hyperparameters(gp_draws):
