@@ -38,7 +38,11 @@ import numpy as np
 NUM_CHAINS = 256
 NUM_BURNIN = 1000
 NUM_RESULTS = 1000
-HMC_LEAPFROGS = 64
+# L=192 crosses the decorrelation threshold of the slowest theta component:
+# measured ESS_min 829 (L64) -> 8256 (L128) -> 18038 (L192, saturating: 18541
+# at L256) and rhat 1.21 -> 1.013; seed-stable (1.013/1.026 across seeds);
+# ESS/s 24-72 across tunnel-variance runs vs 2.6 at L=64
+HMC_LEAPFROGS = 192
 
 
 def main():

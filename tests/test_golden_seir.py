@@ -73,6 +73,34 @@ def test_trajectory_credible_interval_coverage(seir_results):
     assert covered > 0.8, f"95% CI covers only {covered:.0%} of the truth"
 
 
+def test_sirw_recovery():
+    """SIRW golden test (BASELINE.json configs[3], reference
+    test_magi_script.py:19-45 / sirw_test.ipynb workload): SIR with a
+    random-walk time-varying transmission rate, fully observed, 5 thetas.
+
+    Calibration run (CPU f64, 1000+1000 x 4 chains, seed 0): theta mean
+    (3.974, 0.995, 0.309, 0.625, 0.200) vs truth (4, 1, 0.3, 0.5, 0.2) —
+    theta[3] is weakly identified (its init clamps at ~0 and the posterior
+    is wide), hence the band assertion."""
+    from magi_v2_tpu import MAGI_v2
+    from magi_v2_tpu.models import sirw_f_vec
+    from magi_v2_tpu.utils.data import simulate_ode
+
+    true = np.array([4.0, 1.0, 0.3, 0.5, 0.2])
+    ts_obs, X_obs, _ = simulate_ode(
+        sirw_f_vec, x0=np.array([0.95, 0.05, 0.0, 0.0]), thetas=true,
+        t_max=8.0, n_obs=81, noise_sd=0.01,
+    )
+    model = MAGI_v2(5, ts_obs, X_obs, bandsize=200, f_vec=sirw_f_vec)
+    model.initial_fit(discretization=1)
+    res = model.predict(num_results=1000, num_burnin_steps=1000,
+                        num_chains=4, seed=0, init_jitter=0.02)
+    theta = res["thetas_samps"].mean(axis=(0, 1))
+    np.testing.assert_allclose(theta[[0, 1, 4]], true[[0, 1, 4]], rtol=0.08)
+    np.testing.assert_allclose(theta[2], true[2], rtol=0.15)
+    assert 0.30 < theta[3] < 0.85
+
+
 def test_fitzhugh_nagumo_recovery():
     """FN fully-observed benchmark (BASELINE.json configs[1]): theta within
     tolerance of truth under the default (warmup-only annealed) posterior."""
