@@ -528,6 +528,18 @@ class MAGI_v2:
                 self.D_thetas, diag_inv=U_dinv, ref=ref, z0=z0,
             )
         elif reparam == "precond":
+            if dtype == jnp.float32 and self.mag_I >= 768:
+                import warnings
+
+                warnings.warn(
+                    "storage='dense' with reparam='precond' in float32 "
+                    "measured a step-size collapse at N_I ~ 1k (a "
+                    "high-gradient curvature cliff the GN linearization "
+                    "misses at this scale); use storage='banded' (the "
+                    "large-grid mode, requires bandsize) — measured "
+                    "healthy eps 2.9e-2 at Lorenz N_I=1025.",
+                    stacklevel=2,
+                )
             # full-state Gauss-Newton whitening; factors built host-side in
             # float64 (float32 eigh of the stiff precision is unreliable and
             # measured a TPU kernel fault), then cast to the sampling dtype
