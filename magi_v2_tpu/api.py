@@ -356,6 +356,7 @@ class MAGI_v2:
         matmul_precision: str = "highest",
         sigma_sqs_fixed=None,
         map_warmstart_iters: int = 0,
+        precond_refresh_steps: int = 0,
     ):
         """Sample the posterior with annealed NUTS. Reference
         magi_v2.py:286-425; extensions: num_chains (vmapped chains),
@@ -464,7 +465,11 @@ class MAGI_v2:
             # curvature identically I; x = U^{-1} z per leapfrog is an
             # exact O(ND*b) block-banded back substitution. The large-grid
             # mode (dense factors are O((ND)^2)).
-            from magi_v2_tpu.ops.banded import banded_to_blocks_upper
+            from magi_v2_tpu.ops.banded import (
+                banded_diag_tile_inverses,
+                banded_to_blocks_upper,
+            )
+            from magi_v2_tpu.posterior import make_ref_point
             from magi_v2_tpu.sampler.precond import (
                 build_gn_cholesky_banded,
                 make_tempered_logp_grad_gn_banded,
@@ -472,61 +477,70 @@ class MAGI_v2:
                 whiten_X_banded,
             )
 
-            from magi_v2_tpu.ops.banded import banded_diag_tile_inverses
-
-            with self._setup_device_ctx():
-                # R64/S64 make Lambda the exact PSD GN curvature of the
-                # banded target (raw band-truncated operators are
-                # indefinite at dense-grid sizes — see precond.py)
-                U_band, gn_info = build_gn_cholesky_banded(
-                    self, C_inv_sqrts=R64, K_inv_sqrts=S64
-                )
-                U_blocks64 = np.asarray(
-                    banded_to_blocks_upper(jnp.asarray(U_band))
-                )
-                # diagonal-tile inverses in f64: in-graph f32 solves on
-                # TPU ignore the matmul-precision pin (measured eps
-                # collapse — see banded_diag_tile_inverses)
-                U_dinv64 = np.asarray(
-                    banded_diag_tile_inverses(
-                        jnp.asarray(U_blocks64), self.mag_I * self.D
+            def build_banded_gn(anchor_X, anchor_th):
+                """(logp_grad, parts) with the GN factor, relative-energy
+                zero point, and whitening all anchored at (X, theta) — the
+                anchor can be refreshed mid-warmup (precond_refresh_steps)."""
+                with self._setup_device_ctx():
+                    # R64/S64 make Lambda the exact PSD GN curvature of
+                    # the banded target (raw band-truncated operators are
+                    # indefinite at dense-grid sizes — see precond.py)
+                    U_band, gn_info = build_gn_cholesky_banded(
+                        self, C_inv_sqrts=R64, K_inv_sqrts=S64,
+                        at_X=anchor_X, at_thetas=anchor_th,
                     )
-                )
-            U_blocks = jnp.asarray(U_blocks64, dtype)
-            U_dinv = jnp.asarray(U_dinv64, dtype)
-            # relative-energy zero point (f32 safety at dense-grid |lp|
-            # ~1e7 — see posterior.RefPoint); built from the SAME
-            # band-truncated operators the banded target evaluates with
-            from magi_v2_tpu.posterior import make_ref_point
-
-            with self._setup_device_ctx():
-                _i, _j = np.meshgrid(
-                    np.arange(self.mag_I), np.arange(self.mag_I),
-                    indexing="ij",
-                )
-                _bmask = np.abs(_i - _j) <= self.BANDSIZE
-                ref = make_ref_point(
-                    self.I, self.Xhat_init, self.mu_ds, self.thetas_init,
-                    self.f_vec,
-                    np.where(_bmask[None], R64, 0.0),
-                    np.where(_bmask[None], S64, 0.0),
-                    self.m_ds, dtype,
-                )
-            with self._setup_device_ctx():
-                # z0 = U (x0 - mu) in f64: the sampler works with the
-                # whitened deviation z - z0 (see the lp builder)
-                z064 = np.asarray(
-                    whiten_X_banded(
-                        jnp.asarray(self.Xhat_init),
-                        jnp.asarray(self.mu_ds),
-                        jnp.asarray(U_blocks64),
+                    U_blocks64 = np.asarray(
+                        banded_to_blocks_upper(jnp.asarray(U_band))
                     )
+                    # diagonal-tile inverses in f64: in-graph f32 solves
+                    # on TPU ignore the matmul-precision pin (measured eps
+                    # collapse — see banded_diag_tile_inverses)
+                    U_dinv64 = np.asarray(
+                        banded_diag_tile_inverses(
+                            jnp.asarray(U_blocks64), self.mag_I * self.D
+                        )
+                    )
+                    # relative-energy zero point (f32 safety at dense-grid
+                    # |lp| ~1e7 — see posterior.RefPoint); built from the
+                    # SAME band-truncated operators the target evaluates
+                    _i, _j = np.meshgrid(
+                        np.arange(self.mag_I), np.arange(self.mag_I),
+                        indexing="ij",
+                    )
+                    _bmask = np.abs(_i - _j) <= self.BANDSIZE
+                    ref = make_ref_point(
+                        self.I, anchor_X, self.mu_ds, anchor_th,
+                        self.f_vec,
+                        np.where(_bmask[None], R64, 0.0),
+                        np.where(_bmask[None], S64, 0.0),
+                        self.m_ds, dtype,
+                    )
+                    # z0 = U (x_anchor - mu) in f64: the sampler works
+                    # with the whitened deviation z - z0
+                    z064 = np.asarray(
+                        whiten_X_banded(
+                            jnp.asarray(np.asarray(anchor_X, np.float64)),
+                            jnp.asarray(self.mu_ds),
+                            jnp.asarray(U_blocks64),
+                        )
+                    )
+                U_blocks = jnp.asarray(U_blocks64, dtype)
+                U_dinv = jnp.asarray(U_dinv64, dtype)
+                z0 = jnp.asarray(z064.reshape(-1), dtype)
+                lp = make_tempered_logp_grad_gn_banded(
+                    data, self.f_vec, U_blocks, self.mag_I, self.D,
+                    self.D_thetas, diag_inv=U_dinv, ref=ref, z0=z0,
                 )
-            z0 = jnp.asarray(z064.reshape(-1), dtype)
-            logp_grad = make_tempered_logp_grad_gn_banded(
-                data, self.f_vec, U_blocks, self.mag_I, self.D,
-                self.D_thetas, diag_inv=U_dinv, ref=ref, z0=z0,
+                return lp, {
+                    "U_blocks": U_blocks, "U_dinv": U_dinv,
+                    "ref": ref, "z0": z0, "z064": z064, "info": gn_info,
+                }
+
+            logp_grad, gn_parts = build_banded_gn(
+                self.Xhat_init, self.thetas_init
             )
+            U_blocks, U_dinv = gn_parts["U_blocks"], gn_parts["U_dinv"]
+            z064 = gn_parts["z064"]
         elif reparam == "precond":
             if dtype == jnp.float32 and self.mag_I >= 768:
                 import warnings
@@ -728,6 +742,73 @@ class MAGI_v2:
             anneal_mode=anneal_mode,
             matmul_precision=matmul_precision,
         )
+
+        if precond_refresh_steps:
+            if not (reparam == "precond" and storage == "banded"):
+                raise ValueError(
+                    "precond_refresh_steps requires reparam='precond' and "
+                    "storage='banded' (the mode whose linearization goes "
+                    "stale at dense-grid scale)"
+                )
+            # Stage A: short warmup to move the ensemble off the init,
+            # then re-anchor the GN factor, zero point, and whitening at
+            # the chain-median state — the fixed-point linearization goes
+            # stale as chains travel (measured: Lorenz N_I=1025 untempered
+            # eps collapses to ~1e-6 with the init-anchored factor while
+            # the tempered run at the same factor holds eps 2.9e-2).
+            cfg_a = sampler_config._replace(
+                num_results=1, num_burnin_steps=precond_refresh_steps,
+                progress_every=0, thin=1,
+            )
+            start = time.time()
+            samples_a, _ = run_nuts_chains(
+                logp_grad, jnp.asarray(q0, dtype),
+                jax.random.PRNGKey(seed + 1000), cfg_a,
+            )
+            qs_a = jax.block_until_ready(samples_a)[-1]       # (C, dim)
+            ND = self.mag_I * self.D
+            with jax.default_matmul_precision("highest"):
+                # x = x0 + U_old^{-1}(z - z0_old): the f32-accurate
+                # relative map (the absolute mu + U^{-1} z form loses the
+                # deviation at scale)
+                dz = qs_a[:, :ND] - gn_parts["z0"][None, :]
+                Xc_chains = unwhiten_Z_banded(
+                    dz.reshape(num_chains, self.mag_I, self.D),
+                    jnp.zeros((self.D,), dtype),
+                    U_blocks, diag_inv=U_dinv,
+                )
+            X_chains = np.asarray(Xc_chains) + np.asarray(
+                gn_parts["ref"].x0
+            )[None]
+            anchor_X = np.median(np.asarray(X_chains, np.float64), axis=0)
+            from magi_v2_tpu.posterior import softplus as _sp
+            anchor_th = np.asarray(
+                _sp(qs_a[:, ND + self.D:]).mean(axis=0), np.float64
+            )
+            if verbose:
+                print(
+                    f"[precond_refresh] re-anchored after "
+                    f"{precond_refresh_steps} steps in {time.time()-start:.0f}s; "
+                    f"theta anchor {np.round(anchor_th, 3)}"
+                )
+            logp_grad, gn_parts = build_banded_gn(anchor_X, anchor_th)
+            U_blocks, U_dinv = gn_parts["U_blocks"], gn_parts["U_dinv"]
+            # remap chains into the refreshed coordinates:
+            # z_new = z0_new + U_new (x - x_anchor)  — the deviation form
+            # keeps f32 accuracy (x - x_anchor is small)
+            from magi_v2_tpu.ops.banded import block_banded_matvec_upper
+
+            delta_flat = (
+                jnp.asarray(X_chains, dtype)
+                - jnp.asarray(anchor_X, dtype)[None]
+            ).reshape(num_chains, -1)
+            with jax.default_matmul_precision("highest"):
+                z_new = gn_parts["z0"][None, :] + block_banded_matvec_upper(
+                    U_blocks, delta_flat
+                )
+            q0 = np.concatenate(
+                [np.asarray(z_new), np.asarray(qs_a[:, ND:])], axis=1
+            )
 
         if verbose:
             print(

@@ -280,6 +280,8 @@ def build_gn_cholesky_banded(
     bw_precision: int | None = None,
     C_inv_sqrts=None,
     K_inv_sqrts=None,
+    at_X=None,
+    at_thetas=None,
 ):
     """Banded Cholesky factor U of the Gauss-Newton precision Lambda = U'U
     from a fitted MAGI_v2 model (host-side float64). Returns (U_band, info).
@@ -315,9 +317,15 @@ def build_gn_cholesky_banded(
     sigma = (
         model.sigma_sqs_init if sigma_sqs_init is None else sigma_sqs_init
     )
+    # linearization anchor: the init point by default; pass at_X/at_thetas
+    # to refresh the preconditioner at a later state (predict's
+    # precond_refresh_steps) — any anchor yields an exact linear
+    # reparameterization, only preconditioning quality varies
+    X_anchor = model.Xhat_init if at_X is None else np.asarray(at_X)
+    th_anchor = model.thetas_init if at_thetas is None else np.asarray(at_thetas)
     J = np.asarray(
         pointwise_ode_jacobian(
-            model.f_vec, model.I, model.Xhat_init, model.thetas_init
+            model.f_vec, model.I, X_anchor, th_anchor
         ),
         np.float64,
     )

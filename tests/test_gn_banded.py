@@ -295,3 +295,22 @@ def test_predict_banded_whitened_rejected(small_seir_model):
             num_results=2, num_burnin_steps=2,
             storage="banded", reparam="whitened",
         )
+
+
+def test_predict_banded_precond_refresh(small_seir_model):
+    """Mid-warmup preconditioner refresh: re-anchors the GN factor at the
+    chain-median state and remaps the chains exactly (linear coordinate
+    change) — the posterior must be unaffected and sampling stays sane."""
+    res = small_seir_model.predict(
+        num_results=40,
+        num_burnin_steps=40,
+        num_chains=2,
+        seed=0,
+        storage="banded",
+        reparam="precond",
+        precond_refresh_steps=20,
+    )
+    th = res["thetas_samps"].reshape(-1, 3)
+    assert np.all(np.isfinite(th))
+    assert np.all(np.isfinite(res["X_samps"]))
+    assert np.abs(np.median(th, axis=0) - np.array([6.0, 0.6, 1.8])).max() < 2.0
