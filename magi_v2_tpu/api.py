@@ -809,7 +809,23 @@ class MAGI_v2:
             q0 = np.concatenate(
                 [np.asarray(z_new), np.asarray(qs_a[:, ND:])], axis=1
             )
+            if verbose:
+                with jax.default_matmul_precision("highest"):
+                    _lps = jax.vmap(
+                        lambda q: logp_grad(q, jnp.asarray(1.0, dtype))[0]
+                    )(jnp.asarray(q0[:4], dtype))
+                print(
+                    f"[precond_refresh] lp at remapped chains[:4]: "
+                    f"{np.round(np.asarray(_lps), 2)}"
+                )
 
+        if precond_refresh_steps and anneal_mode == "warmup_only":
+            # the annealing ramp ran (and completed) in stage A; re-running
+            # it in stage B would re-flatten the target and re-open the
+            # drift directions the refresh exists to close (measured:
+            # Lorenz N_I=1025 theta_3 slides 40% low whenever the ensemble
+            # explores a tempered target)
+            sampler_config = sampler_config._replace(use_annealing=False)
         if verbose:
             print(
                 f"Starting NUTS posterior sampling "
