@@ -34,7 +34,6 @@ from magi_v2_tpu import preprocess
 from magi_v2_tpu.sampler import SamplerConfig, run_nuts_chains
 from magi_v2_tpu.sampler.magi_state import (
     flatten_state,
-    make_tempered_logp_grad,
     unflatten_samples,
 )
 
@@ -400,6 +399,13 @@ class MAGI_v2:
             sig_fix64 = np.broadcast_to(
                 np.asarray(sigma_sqs_fixed, np.float64), (self.D,)
             )
+            if not np.all(np.isfinite(sig_fix64)) or np.any(sig_fix64 <= 0):
+                raise ValueError(
+                    "sigma_sqs_fixed must be finite and > 0 (a zero or "
+                    "negative known variance makes the softplus bijection "
+                    "pre-image -inf and NaNs every energy); got "
+                    f"{sig_fix64!r}"
+                )
             sigma_sqs_LB = np.minimum(sigma_sqs_LB, 0.5 * sig_fix64)
 
         dtype = cfg.dtype
@@ -459,187 +465,22 @@ class MAGI_v2:
         elif storage != "dense":
             raise ValueError(f"unknown storage mode {storage!r}")
 
-        if reparam == "precond" and storage == "banded":
-            # banded Gauss-Newton whitening: z = U (x - mu) with U the
-            # banded Cholesky factor of the GN precision — whitened
-            # curvature identically I; x = U^{-1} z per leapfrog is an
-            # exact O(ND*b) block-banded back substitution. The large-grid
-            # mode (dense factors are O((ND)^2)).
-            from magi_v2_tpu.ops.banded import (
-                banded_diag_tile_inverses,
-                banded_to_blocks_upper,
-            )
-            from magi_v2_tpu.posterior import make_ref_point
-            from magi_v2_tpu.sampler.precond import (
-                build_gn_cholesky_banded,
-                make_tempered_logp_grad_gn_banded,
-                unwhiten_Z_banded,
-                whiten_X_banded,
-            )
-
-            def build_banded_gn(anchor_X, anchor_th):
-                """(logp_grad, parts) with the GN factor, relative-energy
-                zero point, and whitening all anchored at (X, theta) — the
-                anchor can be refreshed mid-warmup (precond_refresh_steps)."""
-                with self._setup_device_ctx():
-                    # R64/S64 make Lambda the exact PSD GN curvature of
-                    # the banded target (raw band-truncated operators are
-                    # indefinite at dense-grid sizes — see precond.py)
-                    U_band, gn_info = build_gn_cholesky_banded(
-                        self, C_inv_sqrts=R64, K_inv_sqrts=S64,
-                        at_X=anchor_X, at_thetas=anchor_th,
-                    )
-                    U_blocks64 = np.asarray(
-                        banded_to_blocks_upper(jnp.asarray(U_band))
-                    )
-                    # diagonal-tile inverses in f64: in-graph f32 solves
-                    # on TPU ignore the matmul-precision pin (measured eps
-                    # collapse — see banded_diag_tile_inverses)
-                    U_dinv64 = np.asarray(
-                        banded_diag_tile_inverses(
-                            jnp.asarray(U_blocks64), self.mag_I * self.D
-                        )
-                    )
-                    # relative-energy zero point (f32 safety at dense-grid
-                    # |lp| ~1e7 — see posterior.RefPoint); built from the
-                    # SAME band-truncated operators the target evaluates
-                    _i, _j = np.meshgrid(
-                        np.arange(self.mag_I), np.arange(self.mag_I),
-                        indexing="ij",
-                    )
-                    _bmask = np.abs(_i - _j) <= self.BANDSIZE
-                    ref = make_ref_point(
-                        self.I, anchor_X, self.mu_ds, anchor_th,
-                        self.f_vec,
-                        np.where(_bmask[None], R64, 0.0),
-                        np.where(_bmask[None], S64, 0.0),
-                        self.m_ds, dtype,
-                    )
-                    # z0 = U (x_anchor - mu) in f64: the sampler works
-                    # with the whitened deviation z - z0
-                    z064 = np.asarray(
-                        whiten_X_banded(
-                            jnp.asarray(np.asarray(anchor_X, np.float64)),
-                            jnp.asarray(self.mu_ds),
-                            jnp.asarray(U_blocks64),
-                        )
-                    )
-                U_blocks = jnp.asarray(U_blocks64, dtype)
-                U_dinv = jnp.asarray(U_dinv64, dtype)
-                z0 = jnp.asarray(z064.reshape(-1), dtype)
-                lp = make_tempered_logp_grad_gn_banded(
-                    data, self.f_vec, U_blocks, self.mag_I, self.D,
-                    self.D_thetas, diag_inv=U_dinv, ref=ref, z0=z0,
-                )
-                return lp, {
-                    "U_blocks": U_blocks, "U_dinv": U_dinv,
-                    "ref": ref, "z0": z0, "z064": z064, "info": gn_info,
-                }
-
-            logp_grad, gn_parts = build_banded_gn(
-                self.Xhat_init, self.thetas_init
-            )
-            U_blocks, U_dinv = gn_parts["U_blocks"], gn_parts["U_dinv"]
-            z064 = gn_parts["z064"]
-        elif reparam == "precond":
-            if dtype == jnp.float32 and self.mag_I >= 768:
-                import warnings
-
-                warnings.warn(
-                    "storage='dense' with reparam='precond' in float32 "
-                    "measured a step-size collapse at N_I ~ 1k (a "
-                    "high-gradient curvature cliff the GN linearization "
-                    "misses at this scale); use storage='banded' (the "
-                    "large-grid mode, requires bandsize) — measured "
-                    "healthy eps 2.9e-2 at Lorenz N_I=1025.",
-                    stacklevel=2,
-                )
-            # full-state Gauss-Newton whitening; factors built host-side in
-            # float64 (float32 eigh of the stiff precision is unreliable and
-            # measured a TPU kernel fault), then cast to the sampling dtype
-            from magi_v2_tpu.sampler.precond import (
-                build_gn_whitening,
-                make_tempered_logp_grad_gn,
-                unwhiten_Z_full,
-                whiten_X_full,
-            )
-
-            with self._setup_device_ctx():
-                # R64/S64: A1 = L'(R'R)L matches the factored t1 the dense
-                # target evaluates, and keeps Lambda PSD under band
-                # truncation (see precond.py)
-                L64, L_inv64, A164 = build_gn_whitening(
-                    self, sigma_sqs_init=None,
-                    C_inv_sqrts=R64, K_inv_sqrts=S64,
-                )
-            L = jnp.asarray(np.asarray(L64), dtype)
-            L_inv = jnp.asarray(np.asarray(L_inv64), dtype)
-            A1 = jnp.asarray(np.asarray(A164), dtype)
-            # relative-energy zero point (f32 safety at dense-grid |lp|
-            # ~1e7 — see posterior.RefPoint)
-            from magi_v2_tpu.posterior import make_ref_point
-
-            with self._setup_device_ctx():
-                ref = make_ref_point(
-                    self.I, self.Xhat_init, self.mu_ds, self.thetas_init,
-                    self.f_vec, R64, S64, self.m_ds, dtype,
-                )
-            with self._setup_device_ctx():
-                z064 = np.asarray(
-                    whiten_X_full(
-                        jnp.asarray(np.asarray(self.Xhat_init, np.float64)),
-                        jnp.asarray(np.asarray(self.mu_ds, np.float64)),
-                        jnp.asarray(np.asarray(L_inv64)),
-                    )
-                )
-            z0 = jnp.asarray(z064.reshape(-1), dtype)
-            logp_grad = make_tempered_logp_grad_gn(
-                data, self.f_vec, L, A1, self.mag_I, self.D, self.D_thetas,
-                ref=ref, z0=z0,
-            )
-        elif reparam == "whitened":
-            from magi_v2_tpu.sampler.magi_state import (
-                gp_sqrt_factors,
-                make_tempered_logp_grad_whitened,
-                unwhiten_Z,
-                whiten_X,
-            )
-
-            with self._setup_device_ctx():
-                L64, L_inv64 = gp_sqrt_factors(
-                    jnp.asarray(self.C_d_invs)
-                )
-            L = jnp.asarray(np.asarray(L64), dtype)
-            L_inv = jnp.asarray(np.asarray(L_inv64), dtype)
-            logp_grad = make_tempered_logp_grad_whitened(
-                data, self.f_vec, L, self.mag_I, self.D, self.D_thetas
-            )
-        elif reparam == "centered":
-            logp_grad = make_tempered_logp_grad(
-                data, self.f_vec, self.mag_I, self.D, self.D_thetas
-            )
-        else:
-            raise ValueError(f"unknown reparam mode {reparam!r}")
+        # sampler coordinate system: construction lives in sampler/modes.py
+        # (sigma pinning is applied INSIDE the builder so a Gauss-Newton
+        # re-anchor rebuild keeps it)
+        from magi_v2_tpu.sampler.modes import (
+            build_sampling_mode,
+            refresh_gn_anchor,
+            unwhiten_draws,
+        )
 
         if sigma_sqs_fixed is not None:
-            # Known observation noise (the original magi package's
-            # useFixedSigma, used by its Hes1 workload): pin the sigma_pre
-            # block of the state — the wrapped target substitutes the fixed
-            # values and zeroes their gradient, so the coordinates carry no
-            # potential. Under leapfrog a zero-force coordinate keeps its
-            # momentum exactly (its kinetic term contributes 0 to every
-            # energy DIFFERENCE), so acceptance is identical to a sampler
-            # without the coordinates.
             _pre_fix = np.log(np.expm1(sig_fix64 - sigma_sqs_LB))
-            sig_pre_fix = jnp.asarray(_pre_fix, dtype)
-            _sig_lo = self.mag_I * self.D
-            _sig_hi = _sig_lo + self.D
-            _base_lp = logp_grad
-
-            def logp_grad(q, beta_temp, _blp=_base_lp):
-                qf = q.at[_sig_lo:_sig_hi].set(sig_pre_fix)
-                v, g = _blp(qf, beta_temp)
-                return v, g.at[_sig_lo:_sig_hi].set(0.0)
+        mode = build_sampling_mode(
+            self, data, reparam, storage, dtype, R64, S64,
+            sig_pre_fix=_pre_fix if sigma_sqs_fixed is not None else None,
+        )
+        logp_grad = mode.logp_grad
 
         # initial state in unconstrained space (magi_v2.py:374-383):
         # inverse-softplus where above the bound, else -5.0
@@ -658,16 +499,9 @@ class MAGI_v2:
         theta_pre0 = pre_init(
             self.thetas_init, np.zeros_like(self.thetas_init)
         )
-        if reparam == "precond":
-            # chains start at z0 (computed above in f64)
-            X0 = jnp.asarray(z064, dtype)
-        else:
-            X0 = jnp.asarray(self.Xhat_init, dtype)
-            if reparam == "whitened":
-                X0 = whiten_X(X0, data.mu_ds, L_inv)
         q0 = np.asarray(
             flatten_state(
-                X0,
+                mode.X0,
                 jnp.asarray(sigma_pre0, dtype),
                 jnp.asarray(theta_pre0, dtype),
             )
@@ -744,80 +578,11 @@ class MAGI_v2:
         )
 
         if precond_refresh_steps:
-            if not (reparam == "precond" and storage == "banded"):
-                raise ValueError(
-                    "precond_refresh_steps requires reparam='precond' and "
-                    "storage='banded' (the mode whose linearization goes "
-                    "stale at dense-grid scale)"
-                )
-            # Stage A: short warmup to move the ensemble off the init,
-            # then re-anchor the GN factor, zero point, and whitening at
-            # the chain-median state — the fixed-point linearization goes
-            # stale as chains travel (measured: Lorenz N_I=1025 untempered
-            # eps collapses to ~1e-6 with the init-anchored factor while
-            # the tempered run at the same factor holds eps 2.9e-2).
-            cfg_a = sampler_config._replace(
-                num_results=1, num_burnin_steps=precond_refresh_steps,
-                progress_every=0, thin=1,
+            mode, q0 = refresh_gn_anchor(
+                mode, self, q0, num_chains, sampler_config, dtype, seed,
+                precond_refresh_steps, verbose=verbose,
             )
-            start = time.time()
-            samples_a, _ = run_nuts_chains(
-                logp_grad, jnp.asarray(q0, dtype),
-                jax.random.PRNGKey(seed + 1000), cfg_a,
-            )
-            qs_a = jax.block_until_ready(samples_a)[-1]       # (C, dim)
-            ND = self.mag_I * self.D
-            with jax.default_matmul_precision("highest"):
-                # x = x0 + U_old^{-1}(z - z0_old): the f32-accurate
-                # relative map (the absolute mu + U^{-1} z form loses the
-                # deviation at scale)
-                dz = qs_a[:, :ND] - gn_parts["z0"][None, :]
-                Xc_chains = unwhiten_Z_banded(
-                    dz.reshape(num_chains, self.mag_I, self.D),
-                    jnp.zeros((self.D,), dtype),
-                    U_blocks, diag_inv=U_dinv,
-                )
-            X_chains = np.asarray(Xc_chains) + np.asarray(
-                gn_parts["ref"].x0
-            )[None]
-            anchor_X = np.median(np.asarray(X_chains, np.float64), axis=0)
-            from magi_v2_tpu.posterior import softplus as _sp
-            anchor_th = np.asarray(
-                _sp(qs_a[:, ND + self.D:]).mean(axis=0), np.float64
-            )
-            if verbose:
-                print(
-                    f"[precond_refresh] re-anchored after "
-                    f"{precond_refresh_steps} steps in {time.time()-start:.0f}s; "
-                    f"theta anchor {np.round(anchor_th, 3)}"
-                )
-            logp_grad, gn_parts = build_banded_gn(anchor_X, anchor_th)
-            U_blocks, U_dinv = gn_parts["U_blocks"], gn_parts["U_dinv"]
-            # remap chains into the refreshed coordinates:
-            # z_new = z0_new + U_new (x - x_anchor)  — the deviation form
-            # keeps f32 accuracy (x - x_anchor is small)
-            from magi_v2_tpu.ops.banded import block_banded_matvec_upper
-
-            delta_flat = (
-                jnp.asarray(X_chains, dtype)
-                - jnp.asarray(anchor_X, dtype)[None]
-            ).reshape(num_chains, -1)
-            with jax.default_matmul_precision("highest"):
-                z_new = gn_parts["z0"][None, :] + block_banded_matvec_upper(
-                    U_blocks, delta_flat
-                )
-            q0 = np.concatenate(
-                [np.asarray(z_new), np.asarray(qs_a[:, ND:])], axis=1
-            )
-            if verbose:
-                with jax.default_matmul_precision("highest"):
-                    _lps = jax.vmap(
-                        lambda q: logp_grad(q, jnp.asarray(1.0, dtype))[0]
-                    )(jnp.asarray(q0[:4], dtype))
-                print(
-                    f"[precond_refresh] lp at remapped chains[:4]: "
-                    f"{np.round(np.asarray(_lps), 2)}"
-                )
+            logp_grad = mode.logp_grad
 
         if precond_refresh_steps and anneal_mode == "warmup_only":
             # the annealing ramp ran (and completed) in stage A; re-running
@@ -846,53 +611,7 @@ class MAGI_v2:
         X_samps, sigma_pre_samps, theta_pre_samps = unflatten_samples(
             samples, self.mag_I, self.D, self.D_thetas
         )
-        if reparam in ("precond", "whitened"):
-            # map z samples back to trajectories: X = mu + W z — chunked
-            # over draws: one full-batch dispatch at large N_I exceeds the
-            # axon tunnel's dispatch limit (observed hang at N_I=1025)
-            if reparam == "precond" and storage == "banded":
-                unw = lambda Z, mu, F: unwhiten_Z_banded(
-                    Z, mu, F[0], diag_inv=F[1]
-                )
-                factor = (U_blocks, U_dinv)
-            elif reparam == "precond":
-                unw, factor = unwhiten_Z_full, L
-            else:
-                unw, factor = unwhiten_Z, L
-            with jax.default_matmul_precision("highest"):
-                # the factor is passed as an argument, NOT closed over: a
-                # closure bakes it into the executable as a constant
-                f_unw = jax.jit(lambda Z, mu, F: unw(Z, mu, F))
-                # chunk draws to bound BOTH dispatch flops (~5e11: seconds
-                # at f32-highest; the axon tunnel kills multi-minute
-                # dispatches) and device memory: the block-banded matvec
-                # materializes an (draws*chains, nb, nw, T) window stack —
-                # nw copies of the input — which OOMed a 500x256 Lorenz
-                # N_I=1025 run under the flop bound alone
-                itemsize = np.dtype(dtype).itemsize
-                if storage == "banded" and reparam == "precond":
-                    nb, nw, T = (
-                        U_blocks.shape[0], U_blocks.shape[1], U_blocks.shape[2]
-                    )
-                    bytes_per = (nb * nw * T + 2 * self.mag_I * self.D) * itemsize
-                else:
-                    bytes_per = 3 * self.mag_I * self.D * itemsize
-                factor_size = sum(f.size for f in jax.tree.leaves(factor))
-                chunk_flops = int(5e11 // max(1, 2 * num_chains * factor_size))
-                chunk_mem = int(1.5e9 // max(1, num_chains * bytes_per))
-                chunk = max(1, min(chunk_flops, chunk_mem))
-                # stage the z draws on host: keeping the full (T, C, ND)
-                # array on device alongside the matvec intermediates is
-                # what blew the memory budget
-                X_samps = np.asarray(X_samps)
-                X_samps = np.concatenate(
-                    [
-                        np.asarray(f_unw(jnp.asarray(X_samps[i : i + chunk]),
-                                          data.mu_ds, factor))
-                        for i in range(0, X_samps.shape[0], chunk)
-                    ],
-                    axis=0,
-                )
+        X_samps = unwhiten_draws(mode, X_samps, data.mu_ds, num_chains, dtype)
         squeeze = num_chains == 1
 
         def maybe_squeeze(a):

@@ -1,0 +1,449 @@
+"""Sampler coordinate-system builders for MAGI_v2.predict().
+
+Each ``reparam`` x ``storage`` combination is a *linear, fixed* change of
+the X-block coordinates (constant Jacobian), so the posterior over X is
+identical in all of them — only the sampler geometry differs (tested in
+tests/test_precond.py). This module owns the construction of the fused
+``logp_grad`` for each mode, the initial coordinates, the post-sampling
+unwhitening, and the mid-warmup Gauss-Newton re-anchoring
+(``precond_refresh_steps``), extracted from the reference-parity facade
+(predict() maps onto reference magi_v2.py:286-396; the modes themselves
+have no reference counterpart — the reference samples centered X only).
+
+Modes:
+
+- ``precond`` + ``banded``: banded Gauss-Newton whitening z = U (x - mu)
+  with U the banded Cholesky factor of the GN precision; every per-leapfrog
+  operator is O(ND*b). The large-grid mode.
+- ``precond`` + ``dense``: full-state GN whitening via a dense (ND, ND)
+  eigh factor. Fastest up to N_I ~ 1k.
+- ``whitened``: GP-prior whitening only (z = C^{-1/2} (x - mu)).
+- ``centered``: X sampled directly, like the reference.
+
+Known-sigma pinning (``sigma_sqs_fixed``) is applied here, INSIDE the mode
+builder, so a Gauss-Newton re-anchor rebuild keeps the pinning — wrapping
+outside the builder silently dropped it after a refresh.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pin_sigma_coordinates(logp_grad, sig_pre_fix, N_I: int, D: int):
+    """Wrap a fused target so the sigma_pre block is pinned at the known
+    values (the original magi package's useFixedSigma): the wrapped target
+    substitutes the fixed values and zeroes their gradient, so the
+    coordinates carry no potential. Under leapfrog a zero-force coordinate
+    keeps its momentum exactly (its kinetic term contributes 0 to every
+    energy DIFFERENCE), so acceptance is identical to a sampler without
+    the coordinates."""
+    lo = N_I * D
+    hi = lo + D
+
+    def pinned(q, beta_temp, _blp=logp_grad):
+        qf = q.at[lo:hi].set(sig_pre_fix)
+        v, g = _blp(qf, beta_temp)
+        return v, g.at[lo:hi].set(0.0)
+
+    return pinned
+
+
+@dataclass
+class SamplingMode:
+    """A fused target + the coordinate maps predict() needs around it.
+
+    - ``logp_grad(q, beta_temp) -> (logp, grad)`` — sigma pinning (if any)
+      already applied.
+    - ``X0`` — initial X-block coordinates, shape (N_I, D), in the
+      sampling dtype (z0 for the whitened modes, Xhat for centered).
+    - ``unwhiten(Z, mu, factor)`` / ``factor`` — map z draws back to
+      trajectories (None for centered).
+    - ``draw_bytes`` — per-(draw, chain) device bytes of one unwhitening
+      matvec (chunk sizing); 0 for centered.
+    - ``gn`` — banded-GN parts dict (U_blocks/U_dinv/ref/z0/z064/info) or
+      None.
+    - ``rebuild(anchor_X, anchor_th)`` — re-anchor the linearization
+      (banded GN only; None elsewhere).
+    """
+
+    reparam: str
+    storage: str
+    logp_grad: Callable
+    X0: jax.Array
+    unwhiten: Optional[Callable] = None
+    factor: object = None
+    draw_bytes: int = 0
+    gn: Optional[dict] = None
+    rebuild: Optional[Callable] = None
+
+
+def _build_banded_gn_parts(model, data, dtype, R64, S64, anchor_X, anchor_th):
+    """(logp_grad, parts) with the GN factor, relative-energy zero point,
+    and whitening all anchored at (X, theta) — the anchor can be refreshed
+    mid-warmup (precond_refresh_steps)."""
+    from magi_v2_tpu.ops.banded import (
+        banded_diag_tile_inverses,
+        banded_to_blocks_upper,
+    )
+    from magi_v2_tpu.posterior import make_ref_point
+    from magi_v2_tpu.sampler.precond import (
+        build_gn_cholesky_banded,
+        make_tempered_logp_grad_gn_banded,
+        whiten_X_banded,
+    )
+
+    with model._setup_device_ctx():
+        # R64/S64 make Lambda the exact PSD GN curvature of the banded
+        # target (raw band-truncated operators are indefinite at
+        # dense-grid sizes — see precond.py)
+        U_band, gn_info = build_gn_cholesky_banded(
+            model, C_inv_sqrts=R64, K_inv_sqrts=S64,
+            at_X=anchor_X, at_thetas=anchor_th,
+        )
+        U_blocks64 = np.asarray(banded_to_blocks_upper(jnp.asarray(U_band)))
+        # diagonal-tile inverses in f64: in-graph f32 solves on TPU ignore
+        # the matmul-precision pin (measured eps collapse — see
+        # banded_diag_tile_inverses)
+        U_dinv64 = np.asarray(
+            banded_diag_tile_inverses(
+                jnp.asarray(U_blocks64), model.mag_I * model.D
+            )
+        )
+        # relative-energy zero point (f32 safety at dense-grid |lp| ~1e7 —
+        # see posterior.RefPoint); built from the SAME band-truncated
+        # operators the target evaluates
+        _i, _j = np.meshgrid(
+            np.arange(model.mag_I), np.arange(model.mag_I), indexing="ij"
+        )
+        _bmask = np.abs(_i - _j) <= model.BANDSIZE
+        ref = make_ref_point(
+            model.I, anchor_X, model.mu_ds, anchor_th, model.f_vec,
+            np.where(_bmask[None], R64, 0.0),
+            np.where(_bmask[None], S64, 0.0),
+            model.m_ds, dtype,
+        )
+        # z0 = U (x_anchor - mu) in f64: the sampler works with the
+        # whitened deviation z - z0
+        z064 = np.asarray(
+            whiten_X_banded(
+                jnp.asarray(np.asarray(anchor_X, np.float64)),
+                jnp.asarray(model.mu_ds),
+                jnp.asarray(U_blocks64),
+            )
+        )
+    U_blocks = jnp.asarray(U_blocks64, dtype)
+    U_dinv = jnp.asarray(U_dinv64, dtype)
+    z0 = jnp.asarray(z064.reshape(-1), dtype)
+    lp = make_tempered_logp_grad_gn_banded(
+        data, model.f_vec, U_blocks, model.mag_I, model.D,
+        model.D_thetas, diag_inv=U_dinv, ref=ref, z0=z0,
+    )
+    return lp, {
+        "U_blocks": U_blocks, "U_dinv": U_dinv,
+        "ref": ref, "z0": z0, "z064": z064, "info": gn_info,
+    }
+
+
+def build_sampling_mode(
+    model,
+    data,
+    reparam: str,
+    storage: str,
+    dtype,
+    R64,
+    S64,
+    sig_pre_fix=None,
+) -> SamplingMode:
+    """Construct the SamplingMode for a fitted MAGI_v2 model.
+
+    ``data`` is the (dense or banded) PosteriorData predict() built;
+    ``R64``/``S64`` the f64 clamped sqrt factors of C^{-1}/K^{-1};
+    ``sig_pre_fix`` the pre-space pinned sigma values (or None).
+    """
+    itemsize = np.dtype(dtype).itemsize
+    ND = model.mag_I * model.D
+
+    def finish(mode: SamplingMode) -> SamplingMode:
+        if sig_pre_fix is not None:
+            mode.logp_grad = pin_sigma_coordinates(
+                mode.logp_grad, jnp.asarray(sig_pre_fix, dtype),
+                model.mag_I, model.D,
+            )
+        return mode
+
+    if reparam == "precond" and storage == "banded":
+        from magi_v2_tpu.sampler.precond import unwhiten_Z_banded
+
+        logp_grad, gn = _build_banded_gn_parts(
+            model, data, dtype, R64, S64, model.Xhat_init, model.thetas_init
+        )
+        nb, nw, T = (
+            gn["U_blocks"].shape[0],
+            gn["U_blocks"].shape[1],
+            gn["U_blocks"].shape[2],
+        )
+
+        def rebuild(anchor_X, anchor_th):
+            lp, parts = _build_banded_gn_parts(
+                model, data, dtype, R64, S64, anchor_X, anchor_th
+            )
+            return finish(replace(
+                mode,
+                logp_grad=lp,
+                X0=jnp.asarray(parts["z064"], dtype),
+                factor=(parts["U_blocks"], parts["U_dinv"]),
+                gn=parts,
+            ))
+
+        mode = SamplingMode(
+            reparam=reparam,
+            storage=storage,
+            logp_grad=logp_grad,
+            X0=jnp.asarray(gn["z064"], dtype),
+            unwhiten=lambda Z, mu, F: unwhiten_Z_banded(
+                Z, mu, F[0], diag_inv=F[1]
+            ),
+            factor=(gn["U_blocks"], gn["U_dinv"]),
+            # the block-banded matvec materializes an (nb, nw, T) window
+            # stack — nw copies of the input — plus in/out vectors
+            draw_bytes=(nb * nw * T + 2 * ND) * itemsize,
+            gn=gn,
+            rebuild=rebuild,
+        )
+        return finish(mode)
+
+    if reparam == "precond":
+        if dtype == jnp.float32 and model.mag_I >= 768:
+            import warnings
+
+            warnings.warn(
+                "storage='dense' with reparam='precond' in float32 "
+                "measured a step-size collapse at N_I ~ 1k (a "
+                "high-gradient curvature cliff the GN linearization "
+                "misses at this scale); use storage='banded' (the "
+                "large-grid mode, requires bandsize) — measured "
+                "healthy eps 2.9e-2 at Lorenz N_I=1025.",
+                stacklevel=3,
+            )
+        # full-state Gauss-Newton whitening; factors built host-side in
+        # float64 (float32 eigh of the stiff precision is unreliable and
+        # measured a TPU kernel fault), then cast to the sampling dtype
+        from magi_v2_tpu.posterior import make_ref_point
+        from magi_v2_tpu.sampler.precond import (
+            build_gn_whitening,
+            make_tempered_logp_grad_gn,
+            unwhiten_Z_full,
+            whiten_X_full,
+        )
+
+        with model._setup_device_ctx():
+            # R64/S64: A1 = L'(R'R)L matches the factored t1 the dense
+            # target evaluates, and keeps Lambda PSD under band truncation
+            # (see precond.py)
+            L64, L_inv64, A164 = build_gn_whitening(
+                model, sigma_sqs_init=None,
+                C_inv_sqrts=R64, K_inv_sqrts=S64,
+            )
+            # relative-energy zero point (f32 safety at dense-grid |lp|
+            # ~1e7 — see posterior.RefPoint)
+            ref = make_ref_point(
+                model.I, model.Xhat_init, model.mu_ds, model.thetas_init,
+                model.f_vec, R64, S64, model.m_ds, dtype,
+            )
+            z064 = np.asarray(
+                whiten_X_full(
+                    jnp.asarray(np.asarray(model.Xhat_init, np.float64)),
+                    jnp.asarray(np.asarray(model.mu_ds, np.float64)),
+                    jnp.asarray(np.asarray(L_inv64)),
+                )
+            )
+        L = jnp.asarray(np.asarray(L64), dtype)
+        A1 = jnp.asarray(np.asarray(A164), dtype)
+        z0 = jnp.asarray(z064.reshape(-1), dtype)
+        logp_grad = make_tempered_logp_grad_gn(
+            data, model.f_vec, L, A1, model.mag_I, model.D,
+            model.D_thetas, ref=ref, z0=z0,
+        )
+        return finish(SamplingMode(
+            reparam=reparam,
+            storage=storage,
+            logp_grad=logp_grad,
+            X0=jnp.asarray(z064, dtype),
+            unwhiten=lambda Z, mu, F: unwhiten_Z_full(Z, mu, F),
+            factor=L,
+            draw_bytes=3 * ND * itemsize,
+        ))
+
+    if reparam == "whitened":
+        from magi_v2_tpu.sampler.magi_state import (
+            gp_sqrt_factors,
+            make_tempered_logp_grad_whitened,
+            unwhiten_Z,
+            whiten_X,
+        )
+
+        with model._setup_device_ctx():
+            L64, L_inv64 = gp_sqrt_factors(jnp.asarray(model.C_d_invs))
+        L = jnp.asarray(np.asarray(L64), dtype)
+        L_inv = jnp.asarray(np.asarray(L_inv64), dtype)
+        logp_grad = make_tempered_logp_grad_whitened(
+            data, model.f_vec, L, model.mag_I, model.D, model.D_thetas
+        )
+        X0 = whiten_X(
+            jnp.asarray(model.Xhat_init, dtype), data.mu_ds, L_inv
+        )
+        return finish(SamplingMode(
+            reparam=reparam,
+            storage=storage,
+            logp_grad=logp_grad,
+            X0=X0,
+            unwhiten=lambda Z, mu, F: unwhiten_Z(Z, mu, F),
+            factor=L,
+            draw_bytes=3 * ND * itemsize,
+        ))
+
+    if reparam == "centered":
+        from magi_v2_tpu.sampler.magi_state import make_tempered_logp_grad
+
+        logp_grad = make_tempered_logp_grad(
+            data, model.f_vec, model.mag_I, model.D, model.D_thetas
+        )
+        return finish(SamplingMode(
+            reparam=reparam,
+            storage=storage,
+            logp_grad=logp_grad,
+            X0=jnp.asarray(model.Xhat_init, dtype),
+        ))
+
+    raise ValueError(f"unknown reparam mode {reparam!r}")
+
+
+def refresh_gn_anchor(
+    mode: SamplingMode,
+    model,
+    q0,
+    num_chains: int,
+    sampler_config,
+    dtype,
+    seed: int,
+    precond_refresh_steps: int,
+    verbose: bool = False,
+):
+    """Stage A + re-anchor for the banded GN mode (precond_refresh_steps).
+
+    Runs a short warmup to move the ensemble off the init, then re-anchors
+    the GN factor, zero point, and whitening at the chain-median state —
+    the fixed-point linearization goes stale as chains travel (measured:
+    Lorenz N_I=1025 untempered eps collapses to ~1e-6 with the
+    init-anchored factor while the tempered run at the same factor holds
+    eps 2.9e-2). Returns (refreshed mode, remapped chain states).
+    """
+    import time
+
+    from magi_v2_tpu.ops.banded import block_banded_matvec_upper
+    from magi_v2_tpu.posterior import softplus as _sp
+    from magi_v2_tpu.sampler.precond import unwhiten_Z_banded
+    from magi_v2_tpu.sampler.run import run_nuts_chains
+
+    if mode.rebuild is None:
+        raise ValueError(
+            "precond_refresh_steps requires reparam='precond' and "
+            "storage='banded' (the mode whose linearization goes stale "
+            "at dense-grid scale)"
+        )
+    gn = mode.gn
+    U_blocks, U_dinv = gn["U_blocks"], gn["U_dinv"]
+    cfg_a = sampler_config._replace(
+        num_results=1, num_burnin_steps=precond_refresh_steps,
+        progress_every=0, thin=1,
+    )
+    start = time.time()
+    samples_a, _ = run_nuts_chains(
+        mode.logp_grad, jnp.asarray(q0, dtype),
+        jax.random.PRNGKey(seed + 1000), cfg_a,
+    )
+    qs_a = jax.block_until_ready(samples_a)[-1]       # (C, dim)
+    ND = model.mag_I * model.D
+    with jax.default_matmul_precision("highest"):
+        # x = x0 + U_old^{-1}(z - z0_old): the f32-accurate relative map
+        # (the absolute mu + U^{-1} z form loses the deviation at scale)
+        dz = qs_a[:, :ND] - gn["z0"][None, :]
+        Xc_chains = unwhiten_Z_banded(
+            dz.reshape(num_chains, model.mag_I, model.D),
+            jnp.zeros((model.D,), dtype),
+            U_blocks, diag_inv=U_dinv,
+        )
+    X_chains = np.asarray(Xc_chains) + np.asarray(gn["ref"].x0)[None]
+    anchor_X = np.median(np.asarray(X_chains, np.float64), axis=0)
+    anchor_th = np.asarray(
+        _sp(qs_a[:, ND + model.D:]).mean(axis=0), np.float64
+    )
+    if verbose:
+        print(
+            f"[precond_refresh] re-anchored after "
+            f"{precond_refresh_steps} steps in {time.time()-start:.0f}s; "
+            f"theta anchor {np.round(anchor_th, 3)}"
+        )
+    mode = mode.rebuild(anchor_X, anchor_th)
+    # remap chains into the refreshed coordinates:
+    # z_new = z0_new + U_new (x - x_anchor)  — the deviation form keeps
+    # f32 accuracy (x - x_anchor is small)
+    delta_flat = (
+        jnp.asarray(X_chains, dtype) - jnp.asarray(anchor_X, dtype)[None]
+    ).reshape(num_chains, -1)
+    with jax.default_matmul_precision("highest"):
+        z_new = mode.gn["z0"][None, :] + block_banded_matvec_upper(
+            mode.gn["U_blocks"], delta_flat
+        )
+    q0 = np.concatenate(
+        [np.asarray(z_new), np.asarray(qs_a[:, ND:])], axis=1
+    )
+    if verbose:
+        with jax.default_matmul_precision("highest"):
+            _lps = jax.vmap(
+                lambda q: mode.logp_grad(q, jnp.asarray(1.0, dtype))[0]
+            )(jnp.asarray(q0[:4], dtype))
+        print(
+            f"[precond_refresh] lp at remapped chains[:4]: "
+            f"{np.round(np.asarray(_lps), 2)}"
+        )
+    return mode, q0
+
+
+def unwhiten_draws(mode: SamplingMode, X_samps, mu_ds, num_chains, dtype):
+    """Map z draws (T, C, N_I, D) back to trajectories X = mu + W z,
+    chunked over draws: one full-batch dispatch at large N_I exceeds the
+    axon tunnel's dispatch limit (observed hang at N_I=1025). No-op for
+    the centered mode."""
+    if mode.unwhiten is None:
+        return X_samps
+    with jax.default_matmul_precision("highest"):
+        # the factor is passed as an argument, NOT closed over: a closure
+        # bakes it into the executable as a constant
+        f_unw = jax.jit(lambda Z, mu, F: mode.unwhiten(Z, mu, F))
+        # chunk draws to bound BOTH dispatch flops (~5e11: seconds at
+        # f32-highest; the axon tunnel kills multi-minute dispatches) and
+        # device memory (an unbounded window stack OOMed a 500x256 Lorenz
+        # N_I=1025 run under the flop bound alone)
+        factor_size = sum(f.size for f in jax.tree.leaves(mode.factor))
+        chunk_flops = int(5e11 // max(1, 2 * num_chains * factor_size))
+        chunk_mem = int(1.5e9 // max(1, num_chains * mode.draw_bytes))
+        chunk = max(1, min(chunk_flops, chunk_mem))
+        # stage the z draws on host: keeping the full (T, C, ND) array on
+        # device alongside the matvec intermediates is what blew the
+        # memory budget
+        X_samps = np.asarray(X_samps)
+        return np.concatenate(
+            [
+                np.asarray(f_unw(jnp.asarray(X_samps[i : i + chunk]),
+                                  mu_ds, mode.factor))
+                for i in range(0, X_samps.shape[0], chunk)
+            ],
+            axis=0,
+        )

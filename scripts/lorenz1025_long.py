@@ -1,0 +1,137 @@
+"""Long Lorenz N_I=1025 acceptance run (BASELINE.json configs[4]).
+
+The round-2 record (BASELINE_MEASURED.json
+"tpu_lorenz_1025_banded_256x500+500") showed healthy mixing (eps 2.9e-2)
+but 500+500 steps are not enough at dim 3081 (rhat 3.17) and the tempered
+exploration drags theta_3 low. This run is the closing recipe: banded
+Gauss-Newton whitening, mid-warmup preconditioner refresh
+(precond_refresh_steps), then a LONG untempered stage B.
+
+Target: rhat_max <= 1.05, all theta within ~5% of (10, 28, 8/3),
+ESS_min >= 500. Writes a JSON summary + theta draws to results/.
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chains", type=int, default=256)
+    ap.add_argument("--burnin", type=int, default=2000)
+    ap.add_argument("--results", type=int, default=1000)
+    ap.add_argument("--thin", type=int, default=2)
+    ap.add_argument("--leapfrogs", type=int, default=128)
+    ap.add_argument("--refresh", type=int, default=500)
+    ap.add_argument("--n-obs", type=int, default=257)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default="results/lorenz1025_r3.json")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from magi_v2_tpu import MAGI_v2, MagiConfig
+    from magi_v2_tpu.models import lorenz_f_vec
+    from magi_v2_tpu.utils import summarize_chains
+    from magi_v2_tpu.utils.data import simulate_ode
+
+    true = np.array([10.0, 28.0, 8.0 / 3.0])
+    ts_obs, X_obs, X_true = simulate_ode(
+        lorenz_f_vec,
+        x0=np.array([-8.0, 7.0, 27.0]),
+        thetas=true,
+        t_max=2.0,
+        n_obs=args.n_obs,
+        noise_sd=0.5,
+        substeps=50,
+    )
+
+    cfg = MagiConfig().replace(dtype=jnp.float32)
+    model = MAGI_v2(
+        D_thetas=3, ts_obs=ts_obs, X_obs=X_obs, bandsize=100,
+        f_vec=lorenz_f_vec, config=cfg,
+    )
+    t0 = time.time()
+    model.initial_fit(discretization=2, verbose=True)
+    setup_s = time.time() - t0
+    print(f"initial_fit: {setup_s:.1f}s  N_I={model.mag_I}  "
+          f"theta_init={model.thetas_init}", flush=True)
+
+    t0 = time.time()
+    res = model.predict(
+        num_results=args.results,
+        num_burnin_steps=args.burnin,
+        num_chains=args.chains,
+        verbose=True,
+        seed=args.seed,
+        init_jitter=0.05,
+        storage="banded",
+        reparam="precond",
+        algorithm="hmc",
+        hmc_num_leapfrogs=args.leapfrogs,
+        thin=args.thin,
+        precond_refresh_steps=args.refresh,
+    )
+    wall = time.time() - t0
+
+    theta = res["thetas_samps"]            # (T, C, 3)
+    diag = summarize_chains(theta, wall)
+    theta_mean = theta.mean(axis=(0, 1))
+    ks = res["kernel_results"]
+
+    # trajectory recovery vs the noiseless truth at observation times
+    X = res["X_samps"]                     # (T, C, N_I, D)
+    obs_rows = np.searchsorted(model.I[:, 0], ts_obs)
+    Xo = X[:, :, obs_rows, :].reshape(-1, len(ts_obs), X.shape[-1])
+    lo, hi = np.percentile(Xo, [2.5, 97.5], axis=0)
+    coverage = float(((X_true >= lo) & (X_true <= hi)).mean())
+    rmse = float(np.sqrt(((Xo.mean(axis=0) - X_true) ** 2).mean()))
+
+    summary = {
+        "config": (
+            f"Lorenz N_I={model.mag_I}, {args.chains} chains, "
+            f"{args.burnin}+{args.results}x{args.thin} HMC-L{args.leapfrogs}, "
+            f"banded GN (b=100), precond_refresh_steps={args.refresh}, f32"
+        ),
+        "theta_mean": [round(float(v), 4) for v in theta_mean],
+        "theta_sd": [
+            round(float(v), 4) for v in theta.reshape(-1, 3).std(axis=0)
+        ],
+        "theta_true": list(true),
+        "theta_rel_err": [
+            round(float(v), 4) for v in (theta_mean - true) / true
+        ],
+        "ess_min": round(diag["ess_min"], 1),
+        "ess_mean": round(diag["ess_mean"], 1),
+        "rhat_max": round(diag["rhat_max"], 4),
+        "eps": round(float(ks["step_size"]), 5),
+        "accept": round(float(np.mean(ks["accept_probs"])), 4),
+        "div_rate": round(float(np.mean(ks["divergences"])), 6),
+        "traj_coverage_95": round(coverage, 4),
+        "traj_rmse": round(rmse, 4),
+        "sampling_wall_s": round(wall, 1),
+        "setup_s": round(setup_s, 1),
+        "device": str(jax.devices()[0].device_kind),
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(summary, f, indent=1)
+    np.savez_compressed(
+        args.out.replace(".json", "_theta.npz"),
+        thetas=theta.astype(np.float32),
+        accept=ks["accept_probs"].astype(np.float32),
+    )
+    print(json.dumps(summary, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
