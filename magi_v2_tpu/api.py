@@ -334,65 +334,34 @@ class MAGI_v2:
 
     # ------------------------------------------------------------------
 
-    def predict(
+    def _build_sampling_setup(
         self,
-        num_results: int = 1000,
-        num_burnin_steps: int = 1000,
+        reparam: str,
+        storage: str,
+        dtype,
         sigma_sqs_LB=None,
-        verbose: bool = False,
-        num_chains: int = 1,
-        seed: int = 0,
-        init_jitter: float = 0.0,
-        use_annealing: bool = True,
-        adapt_mass_matrix: Optional[bool] = None,
-        storage: str = "dense",
-        reparam: str = "precond",
-        thin: int = 1,
-        dispatch_block_steps: Optional[int] = None,
-        algorithm: str = "nuts",
-        hmc_num_leapfrogs: int = 64,
-        anneal_mode: str = "warmup_only",
-        matmul_precision: str = "highest",
         sigma_sqs_fixed=None,
-        map_warmstart_iters: int = 0,
-        precond_refresh_steps: int = 0,
     ):
-        """Sample the posterior with annealed NUTS. Reference
-        magi_v2.py:286-425; extensions: num_chains (vmapped chains),
-        init_jitter (per-chain X perturbation), seed, sigma_sqs_fixed
-        (treat the observation-noise variances as KNOWN — the original
-        magi package's useFixedSigma; scalar or (D,) array of variances).
+        """Everything predict() needs before chains launch: sigma-bound
+        bookkeeping, the f64 factored precisions, the (dense or
+        band-truncated) PosteriorData, and the SamplingMode for the
+        requested coordinate system.
 
-        Returns the reference's results dict; with num_chains > 1 the
-        ``*_samps`` arrays gain a chain axis at position 1.
-
-        storage: "dense" (batched MXU matvecs — fastest up to N_I ~ 2k) or
-        "banded" (O(N_I * bandsize) Pallas banded operators — the
-        memory/scaling mode for dense grids; requires bandsize).
-
-        reparam: sampler coordinate system (the posterior over X is
-        IDENTICAL in all three — linear maps, constant Jacobian):
-        "precond" (default) whitens with the full Gaussian posterior
-        precision (C^{-1} + m'K^{-1}m)/beta + diag(obs)/sigma^2 — unit
-        curvature everywhere but f's nonlinearity; "whitened" whitens with
-        the GP prior C^{1/2} only; "centered" samples X directly like the
-        reference (measured stiffness ~1e8 -> step sizes ~1e-2).
+        Returns ``(mode, data, sigma_sqs_LB, sig_fix64, sig_pre_fix)``; the
+        last two are None unless ``sigma_sqs_fixed`` was given. Shared by
+        predict() and the driver's multi-chip dryrun (__graft_entry__.py),
+        which exercises the banded Gauss-Newton mode under SPMD.
         """
         cfg = self.config
-        assert not np.any(np.isnan(self.Xhat_init)), (
-            "Please make sure Xhat_init does not have NaNs."
-        )
-        assert not np.any(np.isnan(self.sigma_sqs_init)), (
-            "Please make sure sigma_sqs_init does not have NaNs."
-        )
-        assert not np.any(np.isnan(self.thetas_init)), (
-            "Please make sure thetas_init does not have NaNs."
-        )
-
+        sig_fix64 = None
+        _pre_fix = None
         if sigma_sqs_LB is None:
-            sigma_sqs_LB = (self.Xhat_init.std(axis=0) * cfg.sigma_sq_lb_scale) ** 2
-        sigma_sqs_LB = np.broadcast_to(np.asarray(sigma_sqs_LB, np.float64),
-                                       (self.D,)).copy()
+            sigma_sqs_LB = (
+                self.Xhat_init.std(axis=0) * cfg.sigma_sq_lb_scale
+            ) ** 2
+        sigma_sqs_LB = np.broadcast_to(
+            np.asarray(sigma_sqs_LB, np.float64), (self.D,)
+        ).copy()
         if sigma_sqs_fixed is not None:
             # keep the bound strictly below the known value so the softplus
             # bijection can represent it (sigma^2 = softplus(pre) + LB)
@@ -408,7 +377,6 @@ class MAGI_v2:
                 )
             sigma_sqs_LB = np.minimum(sigma_sqs_LB, 0.5 * sig_fix64)
 
-        dtype = cfg.dtype
         if dtype == jnp.float64 and not jax.config.jax_enable_x64:
             raise ValueError(
                 "MagiConfig.dtype is float64 but jax x64 is disabled: "
@@ -468,18 +436,86 @@ class MAGI_v2:
         # sampler coordinate system: construction lives in sampler/modes.py
         # (sigma pinning is applied INSIDE the builder so a Gauss-Newton
         # re-anchor rebuild keeps it)
-        from magi_v2_tpu.sampler.modes import (
-            build_sampling_mode,
-            refresh_gn_anchor,
-            unwhiten_draws,
-        )
+        from magi_v2_tpu.sampler.modes import build_sampling_mode
 
         if sigma_sqs_fixed is not None:
             _pre_fix = np.log(np.expm1(sig_fix64 - sigma_sqs_LB))
         mode = build_sampling_mode(
             self, data, reparam, storage, dtype, R64, S64,
-            sig_pre_fix=_pre_fix if sigma_sqs_fixed is not None else None,
+            sig_pre_fix=_pre_fix,
         )
+        return mode, data, sigma_sqs_LB, sig_fix64, _pre_fix
+
+    # ------------------------------------------------------------------
+
+    def predict(
+        self,
+        num_results: int = 1000,
+        num_burnin_steps: int = 1000,
+        sigma_sqs_LB=None,
+        verbose: bool = False,
+        num_chains: int = 1,
+        seed: int = 0,
+        init_jitter: float = 0.0,
+        use_annealing: bool = True,
+        adapt_mass_matrix: Optional[bool] = None,
+        storage: str = "dense",
+        reparam: str = "precond",
+        thin: int = 1,
+        dispatch_block_steps: Optional[int] = None,
+        algorithm: str = "nuts",
+        hmc_num_leapfrogs: int = 64,
+        anneal_mode: str = "warmup_only",
+        matmul_precision: str = "highest",
+        sigma_sqs_fixed=None,
+        map_warmstart_iters: int = 0,
+        precond_refresh_steps: int = 0,
+        precond_refresh_restart: str = "remap",
+    ):
+        """Sample the posterior with annealed NUTS. Reference
+        magi_v2.py:286-425; extensions: num_chains (vmapped chains),
+        init_jitter (per-chain X perturbation), seed, sigma_sqs_fixed
+        (treat the observation-noise variances as KNOWN — the original
+        magi package's useFixedSigma; scalar or (D,) array of variances).
+
+        Returns the reference's results dict; with num_chains > 1 the
+        ``*_samps`` arrays gain a chain axis at position 1.
+
+        storage: "dense" (batched MXU matvecs — fastest up to N_I ~ 2k) or
+        "banded" (O(N_I * bandsize) Pallas banded operators — the
+        memory/scaling mode for dense grids; requires bandsize).
+
+        reparam: sampler coordinate system (the posterior over X is
+        IDENTICAL in all three — linear maps, constant Jacobian):
+        "precond" (default) whitens with the full Gaussian posterior
+        precision (C^{-1} + m'K^{-1}m)/beta + diag(obs)/sigma^2 — unit
+        curvature everywhere but f's nonlinearity; "whitened" whitens with
+        the GP prior C^{1/2} only; "centered" samples X directly like the
+        reference (measured stiffness ~1e8 -> step sizes ~1e-2).
+        """
+        cfg = self.config
+        assert not np.any(np.isnan(self.Xhat_init)), (
+            "Please make sure Xhat_init does not have NaNs."
+        )
+        assert not np.any(np.isnan(self.sigma_sqs_init)), (
+            "Please make sure sigma_sqs_init does not have NaNs."
+        )
+        assert not np.any(np.isnan(self.thetas_init)), (
+            "Please make sure thetas_init does not have NaNs."
+        )
+
+        dtype = cfg.dtype
+        mode, data, sigma_sqs_LB, sig_fix64, _pre_fix = (
+            self._build_sampling_setup(
+                reparam, storage, dtype,
+                sigma_sqs_LB=sigma_sqs_LB, sigma_sqs_fixed=sigma_sqs_fixed,
+            )
+        )
+        from magi_v2_tpu.sampler.modes import (
+            refresh_gn_anchor,
+            unwhiten_draws,
+        )
+
         logp_grad = mode.logp_grad
 
         # initial state in unconstrained space (magi_v2.py:374-383):
@@ -491,6 +527,7 @@ class MAGI_v2:
                 softplus_inverse(jnp.asarray(vals[above] - lower[above]))
             )
             return out
+
 
         if sigma_sqs_fixed is not None:
             sigma_pre0 = _pre_fix.copy()
@@ -581,6 +618,7 @@ class MAGI_v2:
             mode, q0 = refresh_gn_anchor(
                 mode, self, q0, num_chains, sampler_config, dtype, seed,
                 precond_refresh_steps, verbose=verbose,
+                restart=precond_refresh_restart,
             )
             logp_grad = mode.logp_grad
 

@@ -334,6 +334,7 @@ def refresh_gn_anchor(
     seed: int,
     precond_refresh_steps: int,
     verbose: bool = False,
+    restart: str = "remap",
 ):
     """Stage A + re-anchor for the banded GN mode (precond_refresh_steps).
 
@@ -342,7 +343,22 @@ def refresh_gn_anchor(
     the fixed-point linearization goes stale as chains travel (measured:
     Lorenz N_I=1025 untempered eps collapses to ~1e-6 with the
     init-anchored factor while the tempered run at the same factor holds
-    eps 2.9e-2). Returns (refreshed mode, remapped chain states).
+    eps 2.9e-2). Returns (refreshed mode, new chain states).
+
+    ``restart`` picks the stage-B initialization:
+
+    - "remap": carry each chain's stage-A state into the refreshed
+      coordinates (exact linear remap). Correct, but when stage A ran hot
+      (tempered), the ensemble is hugely dispersed — measured Lorenz
+      N_I=1025: relative-lp spread ~1e5 across chains, so stage B starts
+      most chains outside the anchor's linearization basin and they
+      diverge (31% divergence rate, acceptance 0.07, R-hat 4.8).
+    - "laplace": restart every chain from the Gauss-Newton Laplace
+      approximation at the refreshed anchor — z = z0 + N(0, I) in the
+      whitened coordinates (unit curvature there by construction), theta
+      at the anchor + jitter, sigma carried from stage A. Overdispersed
+      relative to the local posterior but inside the basin; stage B
+      warmup re-adapts from there. The dense-grid recipe.
     """
     import time
 
@@ -391,19 +407,39 @@ def refresh_gn_anchor(
             f"theta anchor {np.round(anchor_th, 3)}"
         )
     mode = mode.rebuild(anchor_X, anchor_th)
-    # remap chains into the refreshed coordinates:
-    # z_new = z0_new + U_new (x - x_anchor)  — the deviation form keeps
-    # f32 accuracy (x - x_anchor is small)
-    delta_flat = (
-        jnp.asarray(X_chains, dtype) - jnp.asarray(anchor_X, dtype)[None]
-    ).reshape(num_chains, -1)
-    with jax.default_matmul_precision("highest"):
-        z_new = mode.gn["z0"][None, :] + block_banded_matvec_upper(
-            mode.gn["U_blocks"], delta_flat
+    if restart == "laplace":
+        # restart at the GN Laplace approximation of the refreshed anchor:
+        # whitened curvature is I by construction, so z0 + N(0, I) samples
+        # the local Gaussian posterior over X (theta/sigma held near the
+        # anchor) — every chain starts inside the linearization basin
+        from magi_v2_tpu.posterior import softplus_inverse
+
+        rng = np.random.default_rng(seed + 2000)
+        z_new = np.asarray(mode.gn["z064"], np.float64).reshape(-1)[None, :]
+        z_new = z_new + rng.standard_normal((num_chains, ND))
+        th_pre = np.asarray(
+            softplus_inverse(jnp.asarray(anchor_th))
+        )[None, :] + 0.05 * rng.standard_normal(
+            (num_chains, model.D_thetas)
         )
-    q0 = np.concatenate(
-        [np.asarray(z_new), np.asarray(qs_a[:, ND:])], axis=1
-    )
+        sig_pre = np.asarray(qs_a[:, ND : ND + model.D], np.float64)
+        q0 = np.concatenate([z_new, sig_pre, th_pre], axis=1)
+    elif restart == "remap":
+        # remap chains into the refreshed coordinates:
+        # z_new = z0_new + U_new (x - x_anchor)  — the deviation form
+        # keeps f32 accuracy (x - x_anchor is small)
+        delta_flat = (
+            jnp.asarray(X_chains, dtype) - jnp.asarray(anchor_X, dtype)[None]
+        ).reshape(num_chains, -1)
+        with jax.default_matmul_precision("highest"):
+            z_new = mode.gn["z0"][None, :] + block_banded_matvec_upper(
+                mode.gn["U_blocks"], delta_flat
+            )
+        q0 = np.concatenate(
+            [np.asarray(z_new), np.asarray(qs_a[:, ND:])], axis=1
+        )
+    else:
+        raise ValueError(f"unknown refresh restart mode {restart!r}")
     if verbose:
         with jax.default_matmul_precision("highest"):
             _lps = jax.vmap(

@@ -25,8 +25,10 @@ def main():
     ap.add_argument("--burnin", type=int, default=2000)
     ap.add_argument("--results", type=int, default=1000)
     ap.add_argument("--thin", type=int, default=2)
-    ap.add_argument("--leapfrogs", type=int, default=128)
+    ap.add_argument("--leapfrogs", type=int, default=64)
     ap.add_argument("--refresh", type=int, default=500)
+    ap.add_argument("--restart", default="laplace",
+                    choices=["laplace", "remap"])
     ap.add_argument("--n-obs", type=int, default=257)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
@@ -80,6 +82,7 @@ def main():
         hmc_num_leapfrogs=args.leapfrogs,
         thin=args.thin,
         precond_refresh_steps=args.refresh,
+        precond_refresh_restart=args.restart,
     )
     wall = time.time() - t0
 
@@ -100,7 +103,8 @@ def main():
         "config": (
             f"Lorenz N_I={model.mag_I}, {args.chains} chains, "
             f"{args.burnin}+{args.results}x{args.thin} HMC-L{args.leapfrogs}, "
-            f"banded GN (b=100), precond_refresh_steps={args.refresh}, f32"
+            f"banded GN (b=100), refresh={args.refresh} "
+            f"restart={args.restart}, f32"
         ),
         "theta_mean": [round(float(v), 4) for v in theta_mean],
         "theta_sd": [
