@@ -69,30 +69,21 @@ def _ladder_uv(r, off, phi2, v: float):
     return c, l, u, k_vm2, k_vm1, k_v
 
 
-def matern_gram(I, phi1, phi2, v: float = 2.01):
-    """Matern Gram matrix Kappa over grid I. Jittable, differentiable.
-
-    Mirrors the value semantics of reference magi_v2.py:789-795 (including
-    the analytic diagonal phi1), built from the standard Matern form.
-    """
+def _gram_block(r, off, phi1, phi2, v: float):
+    """Kappa on a block of signed differences ``r`` with off-diagonal mask
+    ``off`` (entries where off is False get the analytic diagonal phi1)."""
     A = 2.0 ** (1.0 - v) / _scipy_gamma(v)
-    r = _pairwise_r(I)
-    off = ~jnp.eye(r.shape[0], dtype=bool)
     _, _, u, _, _, k_v = _ladder_uv(r, off, phi2, v)
     offdiag = phi1 * A * jnp.power(u, v) * k_v
     return jnp.where(off, offdiag, phi1 * jnp.ones_like(offdiag))
 
 
-def matern_derivative_matrices(I, phi1, phi2, v: float = 2.01):
-    """(Kappa, dKappa/ds, d2Kappa/dsdt) over grid I, analytic diagonals.
-
-    Reference equivalents: Kappa (magi_v2.py:789-795), p_Kappa
-    (magi_v2.py:797-802), Kappa_pp (magi_v2.py:807-815).
-    """
+def _derivative_block(r, off, phi1, phi2, v: float):
+    """(Kappa, dKappa/ds, d2Kappa/dsdt) on a block of signed differences
+    ``r`` with off-diagonal mask ``off``; masked entries get the analytic
+    diagonal limits. Shared by the full pairwise build and the row-blocked
+    large-N build."""
     A = 2.0 ** (1.0 - v) / _scipy_gamma(v)
-    r = _pairwise_r(I)
-    N = r.shape[0]
-    off = ~jnp.eye(N, dtype=bool)
     c, l, u, k_vm2, k_vm1, k_v = _ladder_uv(r, off, phi2, v)
 
     u_pow_v = jnp.power(u, v)
@@ -108,6 +99,80 @@ def matern_derivative_matrices(I, phi1, phi2, v: float = 2.01):
         diag_pp,
     )
     return kappa, dkappa_ds, kappa_pp
+
+
+# Above this many grid points a non-uniform pairwise build switches to
+# row blocks: the Bessel ladder holds ~15 N x N temporaries live at once
+# (series + CF2 + convergence-freeze state), which is the memory cliff —
+# the O(N^2) Bessel count itself is unavoidable off the Toeplitz path.
+ROW_BLOCK_THRESHOLD = 1024
+ROW_BLOCK = 512
+
+
+def _rowblocked(fn_block, I, phi1, phi2, v: float, row_block: int):
+    """Apply a block builder over row tiles of the pairwise difference
+    matrix via lax.map: peak temporary memory drops from O(N^2) to
+    O(row_block * N) while outputs stay (N, N). Rows are padded to a tile
+    multiple with strictly increasing dummy time points (u > 0 keeps the
+    Bessel ladder finite there; padded rows are sliced off)."""
+    import jax
+
+    s = jnp.asarray(I).reshape(-1)
+    N = s.shape[0]
+    nb = -(-N // row_block)
+    pad = nb * row_block - N
+    if pad:
+        step = (s[-1] - s[0]) / jnp.maximum(N - 1, 1)
+        s_rows = jnp.concatenate(
+            [s, s[-1] + step * jnp.arange(1, pad + 1, dtype=s.dtype)]
+        )
+    else:
+        s_rows = s
+    rows = s_rows.reshape(nb, row_block)
+    row_idx = jnp.arange(nb * row_block).reshape(nb, row_block)
+    col_idx = jnp.arange(N)
+
+    def tile(args):
+        srow, irow = args
+        r = srow[:, None] - s[None, :]
+        off = irow[:, None] != col_idx[None, :]
+        return fn_block(r, off, phi1, phi2, v)
+
+    out = jax.lax.map(tile, (rows, row_idx))
+    reshape = lambda a: a.reshape(nb * row_block, N)[:N]
+    if isinstance(out, tuple):
+        return tuple(reshape(a) for a in out)
+    return reshape(out)
+
+
+def matern_gram(I, phi1, phi2, v: float = 2.01):
+    """Matern Gram matrix Kappa over grid I. Jittable, differentiable.
+
+    Mirrors the value semantics of reference magi_v2.py:789-795 (including
+    the analytic diagonal phi1), built from the standard Matern form.
+    Large non-uniform grids build in row blocks (see _rowblocked).
+    """
+    s = jnp.asarray(I).reshape(-1)
+    if s.shape[0] >= ROW_BLOCK_THRESHOLD:
+        return _rowblocked(_gram_block, s, phi1, phi2, v, ROW_BLOCK)
+    r = _pairwise_r(s)
+    off = ~jnp.eye(r.shape[0], dtype=bool)
+    return _gram_block(r, off, phi1, phi2, v)
+
+
+def matern_derivative_matrices(I, phi1, phi2, v: float = 2.01):
+    """(Kappa, dKappa/ds, d2Kappa/dsdt) over grid I, analytic diagonals.
+
+    Reference equivalents: Kappa (magi_v2.py:789-795), p_Kappa
+    (magi_v2.py:797-802), Kappa_pp (magi_v2.py:807-815). Large non-uniform
+    grids build in row blocks (see _rowblocked).
+    """
+    s = jnp.asarray(I).reshape(-1)
+    if s.shape[0] >= ROW_BLOCK_THRESHOLD:
+        return _rowblocked(_derivative_block, s, phi1, phi2, v, ROW_BLOCK)
+    r = _pairwise_r(s)
+    off = ~jnp.eye(r.shape[0], dtype=bool)
+    return _derivative_block(r, off, phi1, phi2, v)
 
 
 def uniform_spacing(I) -> float | None:
@@ -126,7 +191,11 @@ def uniform_spacing(I) -> float | None:
     between consecutive observations only when the observations themselves
     are equally spaced; user-supplied irregular tau at large N_I pays the
     full pairwise cost (reference magi_v2.py:774-823 always pays it).
-    Forecast extension (extend_for_forecast) preserves uniformity.
+    Above ROW_BLOCK_THRESHOLD points the pairwise build runs in row blocks
+    (O(row_block * N) peak temporaries instead of ~15 N x N ladder
+    intermediates at once), so large non-uniform grids pay the flops but
+    not the memory cliff. Forecast extension (extend_for_forecast)
+    preserves uniformity.
     """
     import numpy as np
 

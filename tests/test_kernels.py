@@ -172,3 +172,26 @@ def test_uniform_spacing_detection():
     assert uniform_spacing(np.linspace(0, 1, 11)) is not None
     assert uniform_spacing(np.array([0.0, 0.1, 0.3])) is None
     assert uniform_spacing(np.array([0.0])) is None
+
+
+def test_rowblocked_build_matches_direct(monkeypatch):
+    """The row-blocked large-N non-uniform build (memory-cliff fix) must
+    match the direct pairwise build, values and phi2 gradients, including
+    the padded final tile."""
+    import magi_v2_tpu.ops.kernels as K
+
+    rng = np.random.default_rng(3)
+    s = jnp.asarray(np.sort(rng.uniform(0.0, 4.0, 53)))  # 53 = 3*16 + 5 pad
+    direct = K.matern_derivative_matrices(s, 1.3, 0.7, V)
+
+    monkeypatch.setattr(K, "ROW_BLOCK_THRESHOLD", 16)
+    monkeypatch.setattr(K, "ROW_BLOCK", 16)
+    blocked = K.matern_derivative_matrices(s, 1.3, 0.7, V)
+    for a, b in zip(blocked, direct):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-13)
+
+    g_blocked = jax.grad(lambda p: jnp.sum(K.matern_gram(s, 1.3, p, V)))(0.7)
+    monkeypatch.setattr(K, "ROW_BLOCK_THRESHOLD", 1024)
+    g_direct = jax.grad(lambda p: jnp.sum(K.matern_gram(s, 1.3, p, V)))(0.7)
+    np.testing.assert_allclose(float(g_blocked), float(g_direct), rtol=1e-12)

