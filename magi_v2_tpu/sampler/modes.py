@@ -456,21 +456,36 @@ def unwhiten_draws(mode: SamplingMode, X_samps, mu_ds, num_chains, dtype):
     """Map z draws (T, C, N_I, D) back to trajectories X = mu + W z,
     chunked over draws: one full-batch dispatch at large N_I exceeds the
     axon tunnel's dispatch limit (observed hang at N_I=1025). No-op for
-    the centered mode."""
+    the centered mode.
+
+    Inside each dispatched chunk the draws run through a sequential
+    lax.map, so device memory holds ONE draw's matvec working set (the
+    window stack) regardless of chunk size — the earlier
+    memory-bounds-the-chunk scheme degenerated to chunk=1 at Lorenz
+    N_I=1025 x 256 chains and paid ~1000 tunnel round-trips (~1 s each)
+    in post-processing."""
     if mode.unwhiten is None:
         return X_samps
     with jax.default_matmul_precision("highest"):
         # the factor is passed as an argument, NOT closed over: a closure
         # bakes it into the executable as a constant
-        f_unw = jax.jit(lambda Z, mu, F: mode.unwhiten(Z, mu, F))
-        # chunk draws to bound BOTH dispatch flops (~5e11: seconds at
-        # f32-highest; the axon tunnel kills multi-minute dispatches) and
-        # device memory (an unbounded window stack OOMed a 500x256 Lorenz
-        # N_I=1025 run under the flop bound alone)
+        f_unw = jax.jit(
+            lambda Z, mu, F: jax.lax.map(
+                lambda z: mode.unwhiten(z[None], mu, F)[0], Z
+            )
+        )
+        # chunk draws to bound dispatch flops (~5e11: seconds at
+        # f32-highest; the axon tunnel kills multi-minute dispatches);
+        # memory is per-draw thanks to the lax.map, but keep a guard so a
+        # single draw's window stack fits comfortably
         factor_size = sum(f.size for f in jax.tree.leaves(mode.factor))
-        chunk_flops = int(5e11 // max(1, 2 * num_chains * factor_size))
-        chunk_mem = int(1.5e9 // max(1, num_chains * mode.draw_bytes))
-        chunk = max(1, min(chunk_flops, chunk_mem))
+        chunk = max(1, int(5e11 // max(1, 2 * num_chains * factor_size)))
+        if num_chains * mode.draw_bytes > int(4e9):
+            raise MemoryError(
+                "one draw's unwhitening working set exceeds the device "
+                f"budget ({num_chains} chains x {mode.draw_bytes} B); "
+                "reduce num_chains or bandsize"
+            )
         # stage the z draws on host: keeping the full (T, C, ND) array on
         # device alongside the matvec intermediates is what blew the
         # memory budget

@@ -68,7 +68,19 @@ def test_trajectory_credible_interval_coverage(seir_results):
     R sits ~0.25 observation-noise-sd from the truth with ~1-noise-sd-wide
     CIs, identically in centered and GN-whitened coordinates — R coverage
     0.32-0.36, E/I coverage 0.96-1.0; round 1's blanket 1.0 came from the
-    then-poorly-mixed sampler's conservative CI widths masking it)."""
+    then-poorly-mixed sampler's conservative CI widths masking it).
+
+    Independently validated round 3 (scripts/r_offset_validation.py,
+    results/r_offset_validation.json): a fully independent operator stack
+    (SciPy Bessel + finite-difference derivative matrices + np.linalg.pinv,
+    no shared code) matches the library's C^{-1}/m/K^{-1} to 1e-8/1e-5/7e-4
+    relative, the NumPy-transliterated reference posterior
+    (magi_v2.py:308-348) evaluated through those independent operators
+    matches the fused JAX lp to |diff| <= 0.19 on posterior draws (lp sd
+    149), and a 5000+5000 reference-parity run reproduces an R offset of
+    0.20 observation-noise-sd (covered there only because the reference's
+    tempered sampling inflates the CIs) — the offset is a property of the
+    MAGI posterior on this data, not an implementation artifact."""
     model, res, raw, _, _ = seir_results
     if raw is None:
         pytest.skip("reference CSV not available")
