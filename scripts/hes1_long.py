@@ -135,7 +135,15 @@ def main():
         model.I, model.C_d_invs, model.m_ds, model.K_d_invs, model.mu_ds,
         model.beta, model.obs_index, sigma_LB, jnp.float64,
     )
-    with jax.enable_x64(True):
+    import contextlib
+
+    # f64 scoring must stay off the TPU: incidental f64 ops hang/fault the
+    # axon backend (CLAUDE.md) — scope both x64 and the CPU device
+    stack = contextlib.ExitStack()
+    stack.enter_context(jax.enable_x64(True))
+    if jax.default_backend() != "cpu":
+        stack.enter_context(jax.default_device(jax.devices("cpu")[0]))
+    with stack:
         lp_ours = jax.jit(make_log_posterior(data, hes1_log_f_vec))
         obs = model.obs_index
         I_flat = model.I.reshape(-1)

@@ -25,9 +25,19 @@ circularity two ways:
    persists, the offset is a property of the MAGI posterior on this data,
    not an implementation artifact.
 
-Writes results/r_offset_validation.json.
+Caveat found by the first run (results/r_offset_validation.json): the
+reference's own annealing never warms past beta_temp = 0.1
+(max(1/log(step+2), 0.1), magi_v2.py:833-835), so the reference-parity
+posterior is the 10x-flattened one — sigma^2 inflates, theta collapses
+(0.34, 0.012, 0.086), and "coverage" is an artifact of the inflated CIs.
+Run with --anneal-mode warmup_only for the statistically meaningful
+variant: the UNTEMPERED posterior, still scored through the fully
+independent operator stack (results/r_offset_validation_untempered.json).
+
+Writes results/r_offset_validation<suffix>.json.
 """
 
+import argparse
 import json
 import os
 import time
@@ -111,6 +121,20 @@ def transliterated_lp(X, sigma_pre, theta_pre, beta_temp, C_invs, m_ds,
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--anneal-mode", default="reference",
+                    choices=["reference", "warmup_only"])
+    ap.add_argument("--chains", type=int, default=1)
+    ap.add_argument("--burnin", type=int, default=5000)
+    ap.add_argument("--results", type=int, default=5000)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    out = args.out or (
+        "results/r_offset_validation.json"
+        if args.anneal_mode == "reference"
+        else "results/r_offset_validation_untempered.json"
+    )
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -150,28 +174,47 @@ def main():
         }
     print("operator rel errors:", json.dumps(op_errs), flush=True)
 
-    # --- 2. reference-parity long run --------------------------------
+    # --- 2. the long scored run ---------------------------------------
+    # anneal_mode='reference': permanently-tempered reference parity;
+    # anneal_mode='warmup_only': anneal ramps to 1 during warmup, so the
+    # scored draws sample the UNTEMPERED posterior (the meaningful
+    # coverage measurement).
     t0 = time.time()
     res = model.predict(
-        num_results=5000, num_burnin_steps=5000, num_chains=1, seed=0,
-        reparam="centered", anneal_mode="reference", use_annealing=True,
-        verbose=True,
+        num_results=args.results, num_burnin_steps=args.burnin,
+        num_chains=args.chains, seed=0,
+        reparam="centered", anneal_mode=args.anneal_mode,
+        use_annealing=True, verbose=True,
     )
     wall = time.time() - t0
 
-    X = res["X_samps"]                       # (T, N_I, D) single chain
+    X = res["X_samps"]
+    if args.chains > 1:                      # (T, C, N_I, D) -> pooled
+        X = np.asarray(X).reshape(-1, model.mag_I, model.D)
     lo, hi = np.quantile(X, [0.025, 0.975], axis=0)
     idx = np.searchsorted(raw["t"], model.I.flatten())
     truth = raw["X_true"][np.clip(idx, 0, len(raw["t"]) - 1)]
     covered = (truth >= lo) & (truth <= hi)
-    sig_mean = np.asarray(res["sigma_sqs_samps"]).mean(axis=0)
+    sig_mean = np.asarray(res["sigma_sqs_samps"]).reshape(-1, model.D).mean(
+        axis=0
+    )
     rmse = np.sqrt(((X.mean(axis=0) - truth) ** 2).mean(axis=0))
     offset_in_noise_sd = rmse / np.sqrt(sig_mean)
+    # the offset scaled by the TRUE observation-noise sd (the sampled
+    # sigma inflates under the reference's permanent tempering, which
+    # makes offset_in_noise_sd look small for the wrong reason)
+    idx_obs = np.clip(
+        np.searchsorted(raw["t"], ts_obs), 0, len(raw["t"]) - 1
+    )
+    true_noise_sd = np.nanstd(
+        np.asarray(X_obs) - raw["X_true"][idx_obs], axis=0
+    )
+    offset_in_true_noise_sd = rmse / true_noise_sd
 
     # --- 3. score draws with the independent stack -------------------
-    samples = res["sample_results"]          # (T, 1, dim) raw flat draws
+    samples = res["sample_results"]          # (T, C, dim) raw flat draws
     assert samples is not None
-    samples = samples[:, 0, :]
+    samples = samples[:, 0, :]               # chain 0
     ND = model.mag_I * model.D
     sub = samples[:: max(1, len(samples) // 50)][:50]
     from magi_v2_tpu.posterior import make_posterior_data, make_log_posterior
@@ -205,19 +248,24 @@ def main():
 
     summary = {
         "config": (
-            "SEIR vignette reference-parity: centered, anneal_mode="
-            "'reference', hparam_fit_points='grid', 1 chain, 5000+5000 "
-            "NUTS, CPU f64, bandsize=80, N_I=161"
+            f"SEIR vignette, centered, anneal_mode='{args.anneal_mode}', "
+            f"hparam_fit_points='grid', {args.chains} chain(s), "
+            f"{args.burnin}+{args.results} NUTS, CPU f64, bandsize=80, "
+            f"N_I=161"
         ),
         "theta_mean": [
             round(float(v), 4)
-            for v in np.asarray(res["thetas_samps"]).mean(axis=0)
+            for v in np.asarray(res["thetas_samps"]).reshape(
+                -1, model.D_thetas
+            ).mean(axis=0)
         ],
         "coverage_95_per_comp": [round(float(c), 4)
                                  for c in covered.mean(axis=0)],
         "rmse_per_comp": [round(float(r), 5) for r in rmse],
         "offset_in_noise_sd": [round(float(o), 4)
                                for o in offset_in_noise_sd],
+        "offset_in_true_noise_sd": [round(float(o), 4)
+                                    for o in offset_in_true_noise_sd],
         "operator_rel_errors_vs_scipy": op_errs,
         "lp_independent_stack_minus_ours": {
             "mean": float(np.mean(lp_diffs_ops)),
@@ -228,7 +276,7 @@ def main():
         "draws_scored": len(sub),
     }
     os.makedirs("results", exist_ok=True)
-    with open("results/r_offset_validation.json", "w") as f:
+    with open(out, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary, indent=1), flush=True)
 

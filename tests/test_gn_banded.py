@@ -297,10 +297,14 @@ def test_predict_banded_whitened_rejected(small_seir_model):
         )
 
 
-def test_predict_banded_precond_refresh(small_seir_model):
+@pytest.mark.parametrize("restart", ["remap", "laplace"])
+def test_predict_banded_precond_refresh(small_seir_model, restart):
     """Mid-warmup preconditioner refresh: re-anchors the GN factor at the
-    chain-median state and remaps the chains exactly (linear coordinate
-    change) — the posterior must be unaffected and sampling stays sane."""
+    chain-median state, then restarts stage B either by exact linear remap
+    of the chain states or from the Gauss-Newton Laplace approximation at
+    the refreshed anchor (the dense-grid recipe — see
+    sampler/modes.py:refresh_gn_anchor for why remap fails when stage A ran
+    hot). Either way the posterior is unchanged and sampling stays sane."""
     res = small_seir_model.predict(
         num_results=40,
         num_burnin_steps=40,
@@ -309,6 +313,7 @@ def test_predict_banded_precond_refresh(small_seir_model):
         storage="banded",
         reparam="precond",
         precond_refresh_steps=20,
+        precond_refresh_restart=restart,
     )
     th = res["thetas_samps"].reshape(-1, 3)
     assert np.all(np.isfinite(th))
