@@ -471,6 +471,7 @@ class MAGI_v2:
         map_warmstart_iters: int = 0,
         precond_refresh_steps: int = 0,
         precond_refresh_restart: str = "remap",
+        precond_refresh_scatter: float = 0.1,
     ):
         """Sample the posterior with annealed NUTS. Reference
         magi_v2.py:286-425; extensions: num_chains (vmapped chains),
@@ -619,6 +620,7 @@ class MAGI_v2:
                 mode, self, q0, num_chains, sampler_config, dtype, seed,
                 precond_refresh_steps, verbose=verbose,
                 restart=precond_refresh_restart,
+                restart_scatter=precond_refresh_scatter,
             )
             logp_grad = mode.logp_grad
 

@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--refresh", type=int, default=500)
     ap.add_argument("--restart", default="laplace",
                     choices=["laplace", "remap"])
+    ap.add_argument("--scatter", type=float, default=0.1)
     ap.add_argument("--n-obs", type=int, default=257)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
@@ -83,6 +84,7 @@ def main():
         thin=args.thin,
         precond_refresh_steps=args.refresh,
         precond_refresh_restart=args.restart,
+        precond_refresh_scatter=args.scatter,
     )
     wall = time.time() - t0
 
@@ -104,7 +106,7 @@ def main():
             f"Lorenz N_I={model.mag_I}, {args.chains} chains, "
             f"{args.burnin}+{args.results}x{args.thin} HMC-L{args.leapfrogs}, "
             f"banded GN (b=100), refresh={args.refresh} "
-            f"restart={args.restart}, f32"
+            f"restart={args.restart} scatter={args.scatter}, f32"
         ),
         "theta_mean": [round(float(v), 4) for v in theta_mean],
         "theta_sd": [

@@ -80,7 +80,13 @@ def test_trajectory_credible_interval_coverage(seir_results):
     149), and a 5000+5000 reference-parity run reproduces an R offset of
     0.20 observation-noise-sd (covered there only because the reference's
     tempered sampling inflates the CIs) — the offset is a property of the
-    MAGI posterior on this data, not an implementation artifact."""
+    MAGI posterior on this data, not an implementation artifact.
+
+    Untempered variant (results/r_offset_validation_untempered.json,
+    anneal_mode='warmup_only', 5000+5000, same independent stack): offsets
+    0.32/0.39/0.35 noise-sd on E/I/R with per-comp coverage 0.90/0.89/0.99,
+    independent-stack lp |diff| <= 0.017 (lp sd 14.8) — same conclusion
+    without the tempering confound."""
     model, res, raw, _, _ = seir_results
     if raw is None:
         pytest.skip("reference CSV not available")
