@@ -27,12 +27,15 @@ outside the builder silently dropped it after a refresh.
 
 from __future__ import annotations
 
+import contextlib
 from dataclasses import dataclass, field, replace
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from magi_v2_tpu.sampler.run import _callbacks_supported
 
 
 def pin_sigma_coordinates(logp_grad, sig_pre_fix, N_I: int, D: int):
@@ -468,6 +471,13 @@ def unwhiten_draws(mode: SamplingMode, X_samps, mu_ds, num_chains, dtype):
     axon tunnel's dispatch limit (observed hang at N_I=1025). No-op for
     the centered mode.
 
+    On tunneled runtimes (axon) the unwhitening runs on the HOST CPU
+    backend instead: the draws are host-staged anyway, and the matvec is
+    bandwidth-bound, so shipping them back through the tunnel buys nothing
+    and measured a dropped connection (UNAVAILABLE after 8 consecutive
+    failed round-trips, ~6 GB in flight, Lorenz N_I=1025 x 256 chains x
+    1000 draws) that lost the whole sampling run.
+
     Inside each dispatched chunk the draws run through a sequential
     lax.map, so device memory holds ONE draw's matvec working set (the
     window stack) regardless of chunk size — the earlier
@@ -476,7 +486,19 @@ def unwhiten_draws(mode: SamplingMode, X_samps, mu_ds, num_chains, dtype):
     in post-processing."""
     if mode.unwhiten is None:
         return X_samps
-    with jax.default_matmul_precision("highest"):
+    on_host = not _callbacks_supported()    # tunneled runtime: stay on host
+    stack = contextlib.ExitStack()
+    if on_host:
+        stack.enter_context(jax.default_device(jax.devices("cpu")[0]))
+    with stack, jax.default_matmul_precision("highest"):
+        factor, mu = mode.factor, mu_ds
+        if on_host:
+            # the factor/mu are committed to the tunneled device — copy to
+            # host once (the factor is small) so the CPU jit sees CPU inputs
+            factor = jax.tree.map(
+                lambda a: jnp.asarray(np.asarray(a)), factor
+            )
+            mu = jnp.asarray(np.asarray(mu))
         # the factor is passed as an argument, NOT closed over: a closure
         # bakes it into the executable as a constant
         f_unw = jax.jit(
@@ -490,7 +512,7 @@ def unwhiten_draws(mode: SamplingMode, X_samps, mu_ds, num_chains, dtype):
         # single draw's window stack fits comfortably
         factor_size = sum(f.size for f in jax.tree.leaves(mode.factor))
         chunk = max(1, int(5e11 // max(1, 2 * num_chains * factor_size)))
-        if num_chains * mode.draw_bytes > int(4e9):
+        if not on_host and num_chains * mode.draw_bytes > int(4e9):
             raise MemoryError(
                 "one draw's unwhitening working set exceeds the device "
                 f"budget ({num_chains} chains x {mode.draw_bytes} B); "
@@ -503,7 +525,7 @@ def unwhiten_draws(mode: SamplingMode, X_samps, mu_ds, num_chains, dtype):
         return np.concatenate(
             [
                 np.asarray(f_unw(jnp.asarray(X_samps[i : i + chunk]),
-                                  mu_ds, mode.factor))
+                                  mu, factor))
                 for i in range(0, X_samps.shape[0], chunk)
             ],
             axis=0,

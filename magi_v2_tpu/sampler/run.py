@@ -26,6 +26,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from magi_v2_tpu.sampler.nuts import NutsConfig, nuts_step
 
@@ -413,17 +414,27 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
     qs, key, da, _, inv_mass = wcarry
     eps_final = jnp.exp(da.log_step_avg)
 
-    # --- sampling: blocks of draws, samples streamed out per block
+    # --- sampling: blocks of draws, samples streamed out per block.
+    # Under dispatch blocking (tunneled runtimes) each block is staged to
+    # HOST as it completes: accumulating every draw on device and fetching
+    # them in one multi-GB device->host copy at the end dropped the axon
+    # tunnel (UNAVAILABLE after 8 consecutive failed round-trips, ~3 GB,
+    # Lorenz N_I=1025 x 256 chains x 1000 draws) and lost the finished
+    # run. Per-block fetches are ~tens of MB and also bound device memory.
     scarry = (qs, key, eps_final, inv_mass)
+    stage_host = config.dispatch_block_steps > 0
     sample_chunks, info_chunks = [], []
     for start, size in blocks(config.num_results, config.thin):
         scarry, (s_blk, i_blk) = sample_blk(scarry, start + jnp.arange(size))
+        if stage_host:
+            s_blk = np.asarray(s_blk)
         sample_chunks.append(s_blk)
         info_chunks.append(i_blk)
     if len(sample_chunks) == 1:
         samples, infos = sample_chunks[0], info_chunks[0]
     else:
-        samples = jnp.concatenate(sample_chunks, axis=0)
+        cat = np.concatenate if stage_host else jnp.concatenate
+        samples = cat(sample_chunks, axis=0)
         infos = jax.tree.map(
             lambda *xs: jnp.concatenate(xs, axis=0), *info_chunks
         )

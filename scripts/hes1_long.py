@@ -90,6 +90,22 @@ def main():
     th = np.asarray(res["thetas_samps"])            # (T, C, 7)
     summary = summarize_chains(th, wall)
     mean = th.mean(axis=(0, 1))
+
+    # ---- per-chain mode classification -------------------------------
+    # The Hes1 posterior is multimodal (decoupled-H mode, see below); a
+    # pooled R-hat over a mode-split ensemble certifies nothing.
+    # Classify each chain by its posterior-mean theta_6 (g, the Hill
+    # production rate): the decoupled mode collapses g (escaped run shows
+    # g ~ 3 vs truth 20), so a per-chain mean g < 8 marks an escaped
+    # chain. Report within-truth-basin diagnostics alongside the pooled.
+    g_per_chain = th[..., 5].mean(axis=0)                     # (C,)
+    in_basin = g_per_chain > 8.0
+    n_in = int(in_basin.sum())
+    if 0 < n_in < th.shape[1]:
+        basin_summary = summarize_chains(th[:, in_basin], wall)
+    else:
+        basin_summary = summary
+    basin_mean = th[:, in_basin].mean(axis=(0, 1)) if n_in else mean
     NI = model.mag_I
     logH_true = np.interp(
         np.linspace(0, 240, NI), np.linspace(0, 240, len(X_true)),
@@ -209,6 +225,16 @@ def main():
                                  for m, t in zip(mean, true)],
         "ess_min": round(summary["ess_min"], 1),
         "rhat_max": round(summary["rhat_max"], 4),
+        "chains_in_truth_basin": f"{n_in}/{th.shape[1]}",
+        "per_chain_mean_g": [round(float(v), 2) for v in g_per_chain],
+        "truth_basin_only": {
+            "theta_mean": [round(float(v), 4) for v in basin_mean],
+            "theta_ratio_to_truth": [
+                round(float(m / t), 3) for m, t in zip(basin_mean, true)
+            ],
+            "ess_min": round(basin_summary["ess_min"], 1),
+            "rhat_max": round(basin_summary["rhat_max"], 4),
+        },
         "H_coverage_95": round(cov, 3),
         "multimodality_check": {
             **modes,
@@ -224,6 +250,10 @@ def main():
     os.makedirs("results", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(summary_out, f, indent=1)
+    np.savez_compressed(
+        args.out.replace(".json", "_theta.npz"),
+        thetas=th.astype(np.float32),
+    )
     print(json.dumps(summary_out, indent=1), flush=True)
 
 
