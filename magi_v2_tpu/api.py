@@ -472,6 +472,7 @@ class MAGI_v2:
         precond_refresh_steps: int = 0,
         precond_refresh_restart: str = "remap",
         precond_refresh_scatter: float = 0.1,
+        checkpoint_path: str = "",
     ):
         """Sample the posterior with annealed NUTS. Reference
         magi_v2.py:286-425; extensions: num_chains (vmapped chains),
@@ -493,6 +494,13 @@ class MAGI_v2:
         curvature everywhere but f's nonlinearity; "whitened" whitens with
         the GP prior C^{1/2} only; "centered" samples X directly like the
         reference (measured stiffness ~1e8 -> step sizes ~1e-2).
+
+        checkpoint_path: directory for mid-run crash recovery ("" = off).
+        Every dispatch block's sampler state + draws are persisted
+        atomically; re-calling predict() with identical arguments resumes
+        bit-identically from the last completed block (the checkpoint is
+        fingerprinted against the run configuration). Clear the directory
+        to start fresh.
         """
         cfg = self.config
         assert not np.any(np.isnan(self.Xhat_init)), (
@@ -613,6 +621,7 @@ class MAGI_v2:
             hmc_num_leapfrogs=hmc_num_leapfrogs,
             anneal_mode=anneal_mode,
             matmul_precision=matmul_precision,
+            checkpoint_path=checkpoint_path,
         )
 
         if precond_refresh_steps:

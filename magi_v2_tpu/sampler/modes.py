@@ -28,6 +28,7 @@ outside the builder silently dropped it after a refresh.
 from __future__ import annotations
 
 import contextlib
+import os
 from dataclasses import dataclass, field, replace
 from typing import Callable, Optional
 
@@ -389,6 +390,13 @@ def refresh_gn_anchor(
     cfg_a = sampler_config._replace(
         num_results=1, num_burnin_steps=precond_refresh_steps,
         progress_every=0, thin=1,
+        # stage A gets its own checkpoint namespace: it is a different
+        # step sequence from the main run (the fingerprint would reject
+        # a shared directory anyway)
+        checkpoint_path=(
+            os.path.join(sampler_config.checkpoint_path, "stageA")
+            if sampler_config.checkpoint_path else ""
+        ),
     )
     start = time.time()
     samples_a, _ = run_nuts_chains(

@@ -22,6 +22,7 @@ LogAnnealedNUTS wrapper. Key differences, all TPU-motivated:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple
 
 import jax
@@ -82,6 +83,79 @@ class SamplerConfig(NamedTuple):
     # (3 passes). bf16 default ("default") collapses NUTS acceptance — see
     # run_nuts_chains docstring.
     matmul_precision: str = "highest"
+    # Directory for mid-run checkpoint/resume ("" = off). Requires
+    # dispatch blocking conceptually but works regardless: at every block
+    # boundary the carry is written atomically to <dir>/state.npz and each
+    # completed sampling block's draws to <dir>/draws_*.npz, so a crash —
+    # including the post-sampling kind (a TPU tunnel drop lost a finished
+    # 256-chain Lorenz run during result fetch) — resumes bit-identically
+    # by re-calling with the same arguments. A config fingerprint guards
+    # against resuming a checkpoint from a different run.
+    checkpoint_path: str = ""
+
+
+def _ckpt_fingerprint(config: "SamplerConfig", C: int, dim: int) -> str:
+    """Identity of a run for resume safety: every field that changes the
+    step sequence, plus the chain/state shape."""
+    return (
+        f"{config.num_results}/{config.num_burnin_steps}/{config.thin}/"
+        f"{config.algorithm}/{config.anneal_mode}/{config.use_annealing}/"
+        f"{config.adapt_mass_matrix}/{config.hmc_num_leapfrogs}/"
+        f"{config.dispatch_block_steps}/C{C}/dim{dim}"
+    )
+
+
+def _ckpt_save_state(dirpath, phase, nxt, carry, fingerprint):
+    """Atomically persist a block-boundary carry (phase = warmup|sample)."""
+    os.makedirs(dirpath, exist_ok=True)
+    # np.savez appends ".npz" to names not ending in it — keep the suffix
+    tmp = os.path.join(dirpath, "state.tmp.npz")
+    np.savez(
+        tmp,
+        _phase=np.array(phase),
+        _next=np.array(nxt),
+        _fingerprint=np.array(fingerprint),
+        **{f"l{i}": np.asarray(x)
+           for i, x in enumerate(jax.tree.leaves(carry))},
+    )
+    os.replace(tmp, os.path.join(dirpath, "state.npz"))
+
+
+def _ckpt_load_state(dirpath, fingerprint):
+    """Return (phase, next_step, leaf_list) or None if no checkpoint."""
+    p = os.path.join(dirpath, "state.npz")
+    if not os.path.exists(p):
+        return None
+    with np.load(p) as z:
+        found = str(z["_fingerprint"])
+        if found != fingerprint:
+            raise ValueError(
+                f"sampler checkpoint at {dirpath!r} is from a different "
+                f"run (saved {found!r} != requested {fingerprint!r}); "
+                "delete the directory or point checkpoint_path elsewhere"
+            )
+        n = sum(1 for k in z.files if not k.startswith("_"))
+        return str(z["_phase"]), int(z["_next"]), [z[f"l{i}"] for i in range(n)]
+
+
+def _ckpt_save_draws(dirpath, start, s_blk, info_dict):
+    tmp = os.path.join(dirpath, f"draws_{start:06d}.tmp.npz")
+    np.savez(
+        tmp,
+        samples=np.asarray(s_blk),
+        **{f"info_{k}": np.asarray(v) for k, v in info_dict.items()},
+    )
+    os.replace(tmp, os.path.join(dirpath, f"draws_{start:06d}.npz"))
+
+
+def _ckpt_load_draws(dirpath, start):
+    p = os.path.join(dirpath, f"draws_{start:06d}.npz")
+    if not os.path.exists(p):
+        return None
+    with np.load(p) as z:
+        return z["samples"], {
+            k[len("info_"):]: z[k] for k in z.files if k.startswith("info_")
+        }
 
 
 _CALLBACKS_SUPPORTED: bool | None = None
@@ -400,19 +474,48 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
         out = [(s, min(B, total - s)) for s in range(0, total, B)]
         return out
 
+    ck = config.checkpoint_path
+    fingerprint = _ckpt_fingerprint(config, C, dim) if ck else ""
+    resume = _ckpt_load_state(ck, fingerprint) if ck else None
+    restore = lambda template, leaves: jax.tree.unflatten(
+        jax.tree.structure(template),
+        [jnp.asarray(x) for x in leaves],
+    )
+
     # --- warmup: blocks of steps, state carried across dispatches
     inv_mass0 = jnp.ones(dim, dtype)
-    key, key_eps = jax.random.split(key)
-    eps_init = jax.jit(find_reasonable_step_size)(
-        q0[0], key_eps, inv_mass0, temp_at(jnp.asarray(0))
-    )
-    da0 = _da_init(eps_init, dtype)
-    welford0 = _welford_init(dim, dtype)
-    wcarry = (q0, key, da0, welford0, inv_mass0)
-    for start, size in blocks(config.num_burnin_steps):
-        wcarry = warmup_blk(wcarry, start + jnp.arange(size))
-    qs, key, da, _, inv_mass = wcarry
-    eps_final = jnp.exp(da.log_step_avg)
+    if resume is not None and resume[0] == "sample":
+        # warmup already completed in a previous process — skip it entirely
+        scarry = restore((q0, key, jnp.asarray(0.1, dtype), inv_mass0),
+                         resume[2])
+        sample_done = resume[1]
+    else:
+        welford0 = _welford_init(dim, dtype)
+        if resume is not None:            # mid-warmup checkpoint
+            wcarry = restore(
+                (q0, key, _da_init(0.1, dtype), welford0, inv_mass0),
+                resume[2],
+            )
+            warmup_done = resume[1]
+        else:
+            key, key_eps = jax.random.split(key)
+            eps_init = jax.jit(find_reasonable_step_size)(
+                q0[0], key_eps, inv_mass0, temp_at(jnp.asarray(0))
+            )
+            wcarry = (q0, key, _da_init(eps_init, dtype), welford0, inv_mass0)
+            warmup_done = 0
+        for start, size in blocks(config.num_burnin_steps):
+            if start + size <= warmup_done:
+                continue
+            wcarry = warmup_blk(wcarry, start + jnp.arange(size))
+            if ck:
+                _ckpt_save_state(ck, "warmup", start + size,
+                                 wcarry, fingerprint)
+        qs, key, da, _, inv_mass = wcarry
+        scarry = (qs, key, jnp.exp(da.log_step_avg), inv_mass)
+        sample_done = 0
+        if ck:
+            _ckpt_save_state(ck, "sample", 0, scarry, fingerprint)
 
     # --- sampling: blocks of draws, samples streamed out per block.
     # Under dispatch blocking (tunneled runtimes) each block is staged to
@@ -421,13 +524,34 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
     # tunnel (UNAVAILABLE after 8 consecutive failed round-trips, ~3 GB,
     # Lorenz N_I=1025 x 256 chains x 1000 draws) and lost the finished
     # run. Per-block fetches are ~tens of MB and also bound device memory.
-    scarry = (qs, key, eps_final, inv_mass)
-    stage_host = config.dispatch_block_steps > 0
+    # Infos are normalized to plain dicts so live blocks and
+    # checkpoint-loaded blocks concatenate through one code path.
+    stage_host = config.dispatch_block_steps > 0 or bool(ck)
     sample_chunks, info_chunks = [], []
     for start, size in blocks(config.num_results, config.thin):
+        if ck and start + size <= sample_done:
+            loaded = _ckpt_load_draws(ck, start)
+            if loaded is not None:
+                sample_chunks.append(loaded[0])
+                info_chunks.append(loaded[1])
+                continue
+            # state says done but the draw file is missing (partial write
+            # cleanup): fall through and recompute from the current carry —
+            # impossible unless files were deleted by hand; re-running the
+            # block from a later carry would be WRONG, so fail loudly.
+            raise FileNotFoundError(
+                f"checkpoint state at {ck!r} marks block {start} complete "
+                f"but draws_{start:06d}.npz is missing; delete state.npz "
+                "to restart"
+            )
         scarry, (s_blk, i_blk) = sample_blk(scarry, start + jnp.arange(size))
+        i_blk = i_blk._asdict()
         if stage_host:
             s_blk = np.asarray(s_blk)
+            i_blk = {k: np.asarray(v) for k, v in i_blk.items()}
+        if ck:
+            _ckpt_save_draws(ck, start, s_blk, i_blk)
+            _ckpt_save_state(ck, "sample", start + size, scarry, fingerprint)
         sample_chunks.append(s_blk)
         info_chunks.append(i_blk)
     if len(sample_chunks) == 1:
@@ -436,15 +560,16 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
         cat = np.concatenate if stage_host else jnp.concatenate
         samples = cat(sample_chunks, axis=0)
         infos = jax.tree.map(
-            lambda *xs: jnp.concatenate(xs, axis=0), *info_chunks
+            lambda *xs: cat(xs, axis=0), *info_chunks
         )
 
+    _, _, eps_final, inv_mass = scarry
     stats = ChainStats(
         step_size=eps_final,
         inv_mass=inv_mass,
-        accept_probs=infos.accept_prob,
-        num_leapfrogs=infos.num_leapfrogs,
-        divergences=infos.diverging,
-        depths=infos.depth,
+        accept_probs=infos["accept_prob"],
+        num_leapfrogs=infos["num_leapfrogs"],
+        divergences=infos["diverging"],
+        depths=infos["depth"],
     )
     return samples, stats

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--n-obs", type=int, default=257)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--checkpoint", default="",
+                    help="sampler checkpoint dir (crash recovery; resume "
+                         "by re-running with identical args)")
     ap.add_argument("--out", default="results/lorenz1025_r3.json")
     args = ap.parse_args()
 
@@ -85,6 +88,7 @@ def main():
         precond_refresh_steps=args.refresh,
         precond_refresh_restart=args.restart,
         precond_refresh_scatter=args.scatter,
+        checkpoint_path=args.checkpoint,
     )
     wall = time.time() - t0
 
