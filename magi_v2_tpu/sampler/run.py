@@ -528,6 +528,26 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
     # checkpoint-loaded blocks concatenate through one code path.
     stage_host = config.dispatch_block_steps > 0 or bool(ck)
     sample_chunks, info_chunks = [], []
+
+    def finalize_block(start, size, s_blk, i_blk, carry_after):
+        """Fetch/persist one completed block. Called AFTER the next block's
+        dispatch is in flight, so the device->host transfer (the dominant
+        per-block cost through a tunnel: ~90 MB at Lorenz-1025 x 256
+        chains) overlaps the TPU compute of the following block instead of
+        serializing with it. The persisted carry is the one matching the
+        persisted _next, not the loop's current carry."""
+        i_blk = i_blk._asdict()
+        if stage_host:
+            s_blk = np.asarray(s_blk)
+            i_blk = {k: np.asarray(v) for k, v in i_blk.items()}
+        if ck:
+            _ckpt_save_draws(ck, start, s_blk, i_blk)
+            _ckpt_save_state(ck, "sample", start + size, carry_after,
+                             fingerprint)
+        sample_chunks.append(s_blk)
+        info_chunks.append(i_blk)
+
+    pending = None
     for start, size in blocks(config.num_results, config.thin):
         if ck and start + size <= sample_done:
             loaded = _ckpt_load_draws(ck, start)
@@ -545,15 +565,11 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
                 "to restart"
             )
         scarry, (s_blk, i_blk) = sample_blk(scarry, start + jnp.arange(size))
-        i_blk = i_blk._asdict()
-        if stage_host:
-            s_blk = np.asarray(s_blk)
-            i_blk = {k: np.asarray(v) for k, v in i_blk.items()}
-        if ck:
-            _ckpt_save_draws(ck, start, s_blk, i_blk)
-            _ckpt_save_state(ck, "sample", start + size, scarry, fingerprint)
-        sample_chunks.append(s_blk)
-        info_chunks.append(i_blk)
+        if pending is not None:
+            finalize_block(*pending)
+        pending = (start, size, s_blk, i_blk, scarry)
+    if pending is not None:
+        finalize_block(*pending)
     if len(sample_chunks) == 1:
         samples, infos = sample_chunks[0], info_chunks[0]
     else:

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--checkpoint", default="",
+                    help="sampler checkpoint dir (crash recovery)")
     ap.add_argument("--out", default="results/hes1_long.json")
     args = ap.parse_args()
 
@@ -83,7 +85,7 @@ def main():
         num_results=args.results, num_burnin_steps=args.burnin,
         num_chains=args.chains, init_jitter=0.02, verbose=True,
         seed=args.seed, reparam="centered", use_annealing=False,
-        sigma_sqs_fixed=0.15 ** 2,
+        sigma_sqs_fixed=0.15 ** 2, checkpoint_path=args.checkpoint,
     )
     wall = time.time() - t0
 
