@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--restart", default="laplace",
                     choices=["laplace", "remap"])
     ap.add_argument("--scatter", type=float, default=0.1)
+    ap.add_argument("--untempered", action="store_true",
+                    help="use_annealing=False: adapt AND sample at beta=1. "
+                         "The theta init is already in-basin for Lorenz; "
+                         "tempered warmup drags theta_3 low and adapts eps "
+                         "to the flattened posterior (measured: refresh runs "
+                         "diverged at 89-99% from the first stage-B draw)")
     ap.add_argument("--n-obs", type=int, default=257)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
@@ -89,6 +95,7 @@ def main():
         precond_refresh_restart=args.restart,
         precond_refresh_scatter=args.scatter,
         checkpoint_path=args.checkpoint,
+        use_annealing=not args.untempered,
     )
     wall = time.time() - t0
 
@@ -110,7 +117,8 @@ def main():
             f"Lorenz N_I={model.mag_I}, {args.chains} chains, "
             f"{args.burnin}+{args.results}x{args.thin} HMC-L{args.leapfrogs}, "
             f"banded GN (b=100), refresh={args.refresh} "
-            f"restart={args.restart} scatter={args.scatter}, f32"
+            f"restart={args.restart} scatter={args.scatter}, "
+            f"{'untempered' if args.untempered else 'tempered-warmup'}, f32"
         ),
         "theta_mean": [round(float(v), 4) for v in theta_mean],
         "theta_sd": [
