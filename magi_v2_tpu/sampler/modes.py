@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import warnings
 from dataclasses import dataclass, field, replace
 from typing import Callable, Optional
 
@@ -367,10 +368,30 @@ def refresh_gn_anchor(
       NOT the true posterior's at dense-grid scale — measured Lorenz
       N_I=1025 (ND=3075): unit scatter gives a 3200-nat lp spread across
       chains (typical-set spread would be ~80), 91% divergence rate,
-      acceptance 0.017, R-hat 198. At scatter 0.1 chains start inside
-      the linearization basin (underdispersed, lp spread ~tens of nats)
-      and stage-B warmup re-disperses them under the true dynamics.
-      The dense-grid recipe.
+      acceptance 0.017, R-hat 198.
+
+    STATUS — experimental, measured HARMFUL at dense-grid scale. Every
+    restart mode fails the Lorenz N_I=1025 x 256-chain acceptance config
+    (BASELINE_MEASURED.json round3 "refresh_negative_result"):
+
+    - remap: 31% divergence, R-hat 4.8 (dispersed tempered ensemble
+      outside the refreshed linearization basin, as documented above);
+    - laplace scatter=1.0: 91% divergence, R-hat 198;
+    - laplace scatter=0.1: 89% divergence from the FIRST stage-B draw
+      (98.7% in block 0), R-hat 166, even though the stage-B warmup ran
+      1500 more adaptation steps. Mechanism: chains restart CLUSTERED at
+      the anchor, early adaptation sees near-mode geometry and pushes eps
+      up; as the ensemble re-disperses the target hardens, the eps
+      trajectory falls, and the dual-averaging AVERAGE (what stage B
+      freezes, per Hoffman-Gelman) lags above the final adapted value —
+      frozen eps 0.046 vs the 0.029 the no-refresh run adapts to, past
+      the divergence cliff.
+
+    The supported dense-grid recipe is NO refresh: init-anchored banded
+    GN whitening + tempered warmup + long untempered sampling (the theta
+    init's gradient-matching anchor is already in-basin; measured eps
+    2.9e-2, acceptance 0.60, divergence 1.6e-4 — see
+    scripts/lorenz1025_long.py and BASELINE_MEASURED.json).
     """
     import time
 
@@ -385,6 +406,14 @@ def refresh_gn_anchor(
             "storage='banded' (the mode whose linearization goes stale "
             "at dense-grid scale)"
         )
+    warnings.warn(
+        "precond_refresh_steps is experimental and measured HARMFUL at "
+        "dense-grid scale (Lorenz N_I=1025 x 256 chains: 31-91% divergence "
+        "across all restart modes; see refresh_gn_anchor docstring). The "
+        "supported large-grid recipe is no refresh: init-anchored banded "
+        "GN + tempered warmup + long untempered sampling.",
+        stacklevel=2,
+    )
     gn = mode.gn
     U_blocks, U_dinv = gn["U_blocks"], gn["U_dinv"]
     cfg_a = sampler_config._replace(

@@ -302,9 +302,10 @@ def test_predict_banded_precond_refresh(small_seir_model, restart):
     """Mid-warmup preconditioner refresh: re-anchors the GN factor at the
     chain-median state, then restarts stage B either by exact linear remap
     of the chain states or from the Gauss-Newton Laplace approximation at
-    the refreshed anchor (the dense-grid recipe — see
-    sampler/modes.py:refresh_gn_anchor for why remap fails when stage A ran
-    hot). Either way the posterior is unchanged and sampling stays sane."""
+    the refreshed anchor. The feature is experimental and measured
+    harmful at dense-grid scale (DEVIATIONS #22) — this test pins the
+    mechanics at small scale: the posterior is unchanged and sampling
+    stays sane under both restart modes."""
     res = small_seir_model.predict(
         num_results=40,
         num_burnin_steps=40,
