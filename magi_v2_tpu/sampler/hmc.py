@@ -29,8 +29,19 @@ class HmcInfo(NamedTuple):
 
 
 def make_hmc_step(max_leapfrogs: int, max_energy_diff: float = 1000.0):
-    """HMC step with a static leapfrog bound; the traced ``num_leapfrogs``
-    (<= max_leapfrogs) masks the tail so all chains trace one scan."""
+    """HMC step running EXACTLY the traced ``num_leapfrogs`` iterations.
+
+    The jittered length is one shared scalar per step (run.py draws it once
+    for the whole chain batch), so a ``lax.while_loop`` bounded by the traced
+    value stays in lockstep under vmap — every lane's condition is identical,
+    so the batch executes num_leapfrogs iterations, not ``max_leapfrogs``.
+    The previous masked-scan formulation always paid ``max_leapfrogs``
+    leapfrogs per step; with the uniform [1, L] jitter that computed and
+    discarded half the device work (mean useful length ~L/2 at cost L).
+    ``max_leapfrogs`` is kept as a documentation/config bound only.
+    """
+
+    del max_leapfrogs  # cost now tracks the traced length directly
 
     def step(logp_grad_fn, key, q, step_size, inv_mass, num_leapfrogs):
         dt = q.dtype
@@ -39,19 +50,20 @@ def make_hmc_step(max_leapfrogs: int, max_energy_diff: float = 1000.0):
         p0 = jax.random.normal(key_mom, q.shape, dt) / jnp.sqrt(inv_mass)
         H0 = -logp0 + 0.5 * jnp.sum(p0 * p0 * inv_mass)
 
-        def body(carry, i):
-            qc, pc, gc, logp_c = carry
+        def cond(carry):
+            i, _, _, _, _ = carry
+            return i < num_leapfrogs
+
+        def body(carry):
+            i, qc, pc, gc, _ = carry
             p_half = pc + 0.5 * step_size * gc
             q_new = qc + step_size * p_half * inv_mass
             logp, g_new = logp_grad_fn(q_new)
             p_new = p_half + 0.5 * step_size * g_new
-            take = i < num_leapfrogs
-            sel = lambda n, o: jnp.where(take, n, o)
-            return (sel(q_new, qc), sel(p_new, pc), sel(g_new, gc),
-                    sel(logp, logp_c)), None
+            return (i + 1, q_new, p_new, g_new, logp)
 
-        (q1, p1, _, logp1), _ = jax.lax.scan(
-            body, (q, p0, grad0, logp0), jnp.arange(max_leapfrogs)
+        _, q1, p1, _, logp1 = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), q, p0, grad0, logp0)
         )
         H1 = -logp1 + 0.5 * jnp.sum(p1 * p1 * inv_mass)
         dH = H1 - H0
