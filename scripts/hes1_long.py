@@ -45,6 +45,11 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if args.f64:
         jax.config.update("jax_enable_x64", True)
+    # persistent compile cache (shared with bench.py): relaunches skip the
+    # slow recompile of the sampler block executables
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.magi_jax_cache_axon"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from magi_v2_tpu import MAGI_v2, MagiConfig

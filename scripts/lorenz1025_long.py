@@ -49,6 +49,11 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: relaunches (recipe iteration, crash recovery)
+    # skip the ~10-minute tunnel recompile of the sampler block executables
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.magi_jax_cache_axon"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from magi_v2_tpu import MAGI_v2, MagiConfig
