@@ -56,7 +56,16 @@ class SamplerConfig(NamedTuple):
     # sample the true posterior (temp=1) afterwards.
     anneal_mode: str = "reference"
     adapt_mass_matrix: bool = True
-    mass_window_begin: float = 0.1     # fraction of burnin
+    # Mass-adaptation window (fractions of burnin). In "warmup_only" mode
+    # the temperature ramp ends at mass_window_begin so Welford measures
+    # the beta=1 posterior — measuring the FLATTENED posterior and then
+    # sampling at beta=1 leaves the mass ~1/beta too large per coordinate
+    # (measured Lorenz N_I=1025 x 256 chains: inv_mass median 33, max
+    # 3.5e3 where the GN-whitened scale is ~1; dual averaging then slashes
+    # eps to 1.1e-4 to accommodate the overscaled directions and every
+    # chain freezes). Window placed late so the pre-window dispersal
+    # transient (mean drift inflates Welford variance) has settled.
+    mass_window_begin: float = 0.45
     mass_window_end: float = 0.7
     # Host progress line every k steps via jax.debug.callback (0 = off) —
     # the in-graph replacement for the reference's tqdm (unusable under
@@ -282,10 +291,17 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
             return jnp.asarray(1.0, dtype)
         t = log_temperature_schedule(step, config.anneal_min_temp).astype(dtype)
         if config.anneal_mode == "warmup_only":
-            # ramp back to temp=1 by the end of step-size adaptation so the
-            # adapted eps matches the temperature actually sampled at
+            # Ramp back to temp=1 early enough that everything frozen for
+            # the sampling phase was adapted AT the temperature actually
+            # sampled: by the start of the mass window when mass adaptation
+            # is on (Welford must measure the beta=1 posterior — see the
+            # mass_window_begin comment above for the measured failure),
+            # else by the end of step-size adaptation.
+            ramp_end = num_adapt
+            if config.adapt_mass_matrix and win_hi > win_lo:
+                ramp_end = min(ramp_end, win_lo)
             ramp = jnp.clip(
-                step.astype(dtype) / jnp.asarray(max(num_adapt, 1), dtype),
+                step.astype(dtype) / jnp.asarray(max(ramp_end, 1), dtype),
                 0.0, 1.0,
             )
             return jnp.maximum(t, ramp)
