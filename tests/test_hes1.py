@@ -92,8 +92,15 @@ def test_posterior_prefers_truth_over_degenerate(hes1_model):
 @pytest.mark.slow
 def test_hes1_theta_recovery(hes1_model):
     """Full recovery in the basin-trapped (reference-regime) mode — the
-    examples/hes1.py recipe. Calibration run: theta (0.015, 0.374, 0.034,
-    0.029, 0.585, 26.9, 0.173) vs truth, H coverage 0.76."""
+    examples/hes1.py recipe at a CI-sized config. The CONVERGED authority
+    for this posterior is the 16x3000+8000 run (results/hes1_long2.json,
+    BASELINE_MEASURED.json round3: rhat_max 1.028, ESS_min 639, 16/16
+    chains in the truth basin): theta ratios to truth
+    (0.69, 1.26, 1.11, 1.05, 1.17, 1.36, 0.57) — i.e. the g~0.57x and
+    f~1.36x offsets are properties of the posterior itself (g posterior
+    sd 0.03, f sd 13.2: weakly identified), not sampler error. The
+    factor-2.5 band below accommodates THIS config's 4x600+600 noise on
+    top of those converged offsets."""
     model, X_true = hes1_model
     model.beta = 1.0
     res = model.predict(
