@@ -30,6 +30,17 @@ def main():
     ap.add_argument("--restart", default="laplace",
                     choices=["laplace", "remap"])
     ap.add_argument("--scatter", type=float, default=0.1)
+    ap.add_argument("--anneal-mode", default="warmup_only",
+                    choices=["warmup_only", "reference"],
+                    help="'reference' keeps the log-temperature schedule "
+                         "through sampling (the reference's own regime; "
+                         "the beta=1 target at N_I=1025 is eps-collapsed "
+                         "for any fixed metric — measured b-sweep: frozen "
+                         "eps 3.9e-4 at b=100, 7.1e-6 at b=200)")
+    ap.add_argument("--min-temp", type=float, default=0.1,
+                    help="anneal floor; with --anneal-mode reference, a "
+                         "floor the schedule reaches BEFORE sampling pins "
+                         "a FIXED tempered target (valid rhat/ESS)")
     ap.add_argument("--untempered", action="store_true",
                     help="use_annealing=False: adapt AND sample at beta=1. "
                          "The theta init is already in-basin for Lorenz; "
@@ -72,7 +83,8 @@ def main():
         substeps=50,
     )
 
-    cfg = MagiConfig().replace(dtype=jnp.float32)
+    cfg = MagiConfig().replace(dtype=jnp.float32,
+                               anneal_min_temp=args.min_temp)
     model = MAGI_v2(
         D_thetas=3, ts_obs=ts_obs, X_obs=X_obs, bandsize=100,
         f_vec=lorenz_f_vec, config=cfg,
@@ -101,6 +113,7 @@ def main():
         precond_refresh_scatter=args.scatter,
         checkpoint_path=args.checkpoint,
         use_annealing=not args.untempered,
+        anneal_mode=args.anneal_mode,
     )
     wall = time.time() - t0
 
@@ -123,7 +136,8 @@ def main():
             f"{args.burnin}+{args.results}x{args.thin} HMC-L{args.leapfrogs}, "
             f"banded GN (b=100), refresh={args.refresh} "
             f"restart={args.restart} scatter={args.scatter}, "
-            f"{'untempered' if args.untempered else 'tempered-warmup'}, f32"
+            f"{'untempered' if args.untempered else args.anneal_mode}"
+            f"(floor={args.min_temp}), f32"
         ),
         "theta_mean": [round(float(v), 4) for v in theta_mean],
         "theta_sd": [
