@@ -388,10 +388,15 @@ def refresh_gn_anchor(
       the divergence cliff.
 
     The supported dense-grid recipe is NO refresh: init-anchored banded
-    GN whitening + tempered warmup + long untempered sampling (the theta
-    init's gradient-matching anchor is already in-basin; measured eps
-    2.9e-2, acceptance 0.60, divergence 1.6e-4 — see
-    scripts/lorenz1025_long.py and BASELINE_MEASURED.json).
+    GN whitening sampling the TEMPERED (reference-schedule) target with a
+    pinned floor (anneal_mode='reference'; measured eps 2.9e-2, acceptance
+    0.60, divergence 1.6e-4). The beta=1 target itself is eps-collapsed at
+    this scale for ANY fixed metric — measured frozen-eps ladder: 3.9e-4
+    at b=100, 7.1e-6 at b=200 (wider bands restore more of the true h^-4
+    manifold stiffness), acceptance UNIFORM across chains, i.e. a global
+    property of the dense-grid MAGI posterior, not an adaptation artifact.
+    See scripts/lorenz1025_long.py and BASELINE_MEASURED.json round3
+    "dense_grid_beta1_obstruction".
     """
     import time
 
@@ -411,7 +416,7 @@ def refresh_gn_anchor(
         "dense-grid scale (Lorenz N_I=1025 x 256 chains: 31-91% divergence "
         "across all restart modes; see refresh_gn_anchor docstring). The "
         "supported large-grid recipe is no refresh: init-anchored banded "
-        "GN + tempered warmup + long untempered sampling.",
+        "GN sampling the tempered (anneal_mode='reference') target.",
         stacklevel=2,
     )
     gn = mode.gn
