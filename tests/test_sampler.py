@@ -189,3 +189,28 @@ def test_warmup_only_annealing_samples_true_posterior():
     flat = np.asarray(samples).reshape(-1, dim)
     # variance 1.0, NOT 1/0.13 ~ 7.5 as the reference-mode tempered target
     np.testing.assert_allclose(flat.var(axis=0), 1.0, atol=0.15)
+
+
+def test_warmup_only_mass_measures_beta1_posterior():
+    """Warmup coherence (round-3 root cause): with annealing on, the
+    Welford mass window must measure the beta=1 posterior, so the beta
+    ramp ends at the window start. Measuring the FLATTENED posterior and
+    sampling at beta=1 left inv_mass ~1/beta too large per coordinate
+    (Lorenz N_I=1025: median 33x, max 3.5e3x -> dual averaging slashed
+    eps to 1.1e-4 and froze every chain). On an anisotropic Gaussian the
+    old schedule inflates the adapted inv_mass ~2x; assert it lands near
+    the true variances instead."""
+    var = np.array([1.0, 16.0])
+    cov_inv = jnp.asarray(np.diag(1.0 / var))
+    lp = lambda q, bt: (bt * (-0.5 * q @ cov_inv @ q), bt * (-(cov_inv @ q)))
+    cfg = SamplerConfig(num_results=50, num_burnin_steps=600,
+                        use_annealing=True, anneal_mode="warmup_only",
+                        adapt_mass_matrix=True, algorithm="hmc",
+                        hmc_num_leapfrogs=16)
+    q0 = jnp.zeros((32, 2))
+    _, stats = run_nuts_chains(lp, q0, jax.random.PRNGKey(14), cfg)
+    inv_mass = np.asarray(stats.inv_mass)
+    # adapted variance estimate within 40% of the beta=1 truth per dim
+    np.testing.assert_allclose(inv_mass, var, rtol=0.4)
+    # and the frozen step size is adapted to the beta=1 geometry
+    assert 0.1 < float(stats.step_size) < 2.0
