@@ -47,6 +47,15 @@ def main():
                          "tempered warmup drags theta_3 low and adapts eps "
                          "to the flattened posterior (measured: refresh runs "
                          "diverged at 89-99% from the first stage-B draw)")
+    ap.add_argument("--sigma-fixed", type=float, default=0.0,
+                    help="pin the observation-noise variances at this KNOWN "
+                         "value (0 = sample sigma). Required for a tempered "
+                         "run to stay identified: with sigma free the "
+                         "flattened posterior inflates sigma^2 until the "
+                         "data decouple and theta collapses (measured: SEIR "
+                         "5000+5000 DEVIATIONS #16; Lorenz N_I=1025 floor "
+                         "0.15, run r3j — theta mean fell to (2.5, 24.8, "
+                         "0.64) as chains actually mixed)")
     ap.add_argument("--n-obs", type=int, default=257)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
@@ -114,6 +123,7 @@ def main():
         checkpoint_path=args.checkpoint,
         use_annealing=not args.untempered,
         anneal_mode=args.anneal_mode,
+        sigma_sqs_fixed=(args.sigma_fixed or None),
     )
     wall = time.time() - t0
 
@@ -137,7 +147,8 @@ def main():
             f"banded GN (b=100), refresh={args.refresh} "
             f"restart={args.restart} scatter={args.scatter}, "
             f"{'untempered' if args.untempered else args.anneal_mode}"
-            f"(floor={args.min_temp}), f32"
+            f"(floor={args.min_temp}), "
+            f"sigma={'fixed %g' % args.sigma_fixed if args.sigma_fixed else 'free'}, f32"
         ),
         "theta_mean": [round(float(v), 4) for v in theta_mean],
         "theta_sd": [
