@@ -446,6 +446,36 @@ class MAGI_v2:
         )
         return mode, data, sigma_sqs_LB, sig_fix64, _pre_fix
 
+    def _dense_tail_size(self, mass_matrix: str, sigma_sqs_fixed) -> int:
+        """Map the ``mass_matrix`` mode to SamplerConfig.dense_tail_size.
+
+        "tail_dense" covers the (sigma_pre, theta_pre) block — theta_pre
+        only when sigma is pinned, because pinned coordinates carry no
+        potential and random-walk ballistically: their Welford moments are
+        diffusion artifacts that would pollute a dense block containing
+        them. "dense" covers the whole flat state (Stan's dense metric) —
+        the mode that whitens the X-theta ridge (measured |corr| up to
+        0.89 on the SEIR bench, results/seir_corr_probe.json)."""
+        if mass_matrix == "diag":
+            return 0
+        if mass_matrix == "tail_dense":
+            return (self.D_thetas if sigma_sqs_fixed is not None
+                    else self.D + self.D_thetas)
+        if mass_matrix == "dense":
+            if sigma_sqs_fixed is not None:
+                raise ValueError(
+                    "mass_matrix='dense' with sigma_sqs_fixed is not "
+                    "supported: the pinned sigma coordinates random-walk "
+                    "ballistically and their sample moments are "
+                    "meaningless; use mass_matrix='tail_dense' (theta "
+                    "block only) instead"
+                )
+            return self.mag_I * self.D + self.D + self.D_thetas
+        raise ValueError(
+            f"unknown mass_matrix {mass_matrix!r}; expected 'diag', "
+            "'tail_dense' or 'dense'"
+        )
+
     # ------------------------------------------------------------------
 
     def predict(
@@ -467,6 +497,7 @@ class MAGI_v2:
         hmc_num_leapfrogs: int = 64,
         anneal_mode: str = "warmup_only",
         matmul_precision: str = "highest",
+        mass_matrix: str = "diag",
         sigma_sqs_fixed=None,
         map_warmstart_iters: int = 0,
         precond_refresh_steps: int = 0,
@@ -494,6 +525,14 @@ class MAGI_v2:
         curvature everywhere but f's nonlinearity; "whitened" whitens with
         the GP prior C^{1/2} only; "centered" samples X directly like the
         reference (measured stiffness ~1e8 -> step sizes ~1e-2).
+
+        mass_matrix: "diag" (per-coordinate inverse mass from the Welford
+        window — the default) or "tail_dense" (additionally estimate a
+        dense inverse-mass block over the (sigma_pre, theta_pre) tail —
+        just theta_pre when sigma_sqs_fixed pins sigma. The tail block is
+        low-dimensional but ridge-correlated, e.g. SEIR beta/gamma through
+        R0; the dense block whitens the ridge so short HMC trajectories
+        decorrelate theta). Requires adapt_mass_matrix.
 
         checkpoint_path: directory for mid-run crash recovery ("" = off).
         Every dispatch block's sampler state + draws are persisted
@@ -621,6 +660,9 @@ class MAGI_v2:
             hmc_num_leapfrogs=hmc_num_leapfrogs,
             anneal_mode=anneal_mode,
             matmul_precision=matmul_precision,
+            dense_tail_size=self._dense_tail_size(
+                mass_matrix, sigma_sqs_fixed
+            ),
             checkpoint_path=checkpoint_path,
         )
 
@@ -697,6 +739,10 @@ class MAGI_v2:
             "kernel_results": {
                 "step_size": np.asarray(stats.step_size),
                 "inv_mass": np.asarray(stats.inv_mass),
+                "tail_inv_mass": (
+                    np.asarray(stats.tail_inv_mass)
+                    if stats.tail_inv_mass is not None else None
+                ),
                 "accept_probs": np.asarray(stats.accept_probs),
                 "num_leapfrogs": np.asarray(stats.num_leapfrogs),
                 "divergences": np.asarray(stats.divergences),

@@ -20,6 +20,12 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from magi_v2_tpu.sampler.mass import (
+    mass_kinetic,
+    mass_sample_momentum,
+    mass_vel,
+)
+
 
 class HmcInfo(NamedTuple):
     accept_prob: jax.Array
@@ -47,8 +53,8 @@ def make_hmc_step(max_leapfrogs: int, max_energy_diff: float = 1000.0):
         dt = q.dtype
         key_mom, key_acc = jax.random.split(key)
         logp0, grad0 = logp_grad_fn(q)
-        p0 = jax.random.normal(key_mom, q.shape, dt) / jnp.sqrt(inv_mass)
-        H0 = -logp0 + 0.5 * jnp.sum(p0 * p0 * inv_mass)
+        p0 = mass_sample_momentum(inv_mass, key_mom, q.shape, dt)
+        H0 = -logp0 + mass_kinetic(inv_mass, p0)
 
         def cond(carry):
             i, _, _, _, _ = carry
@@ -57,7 +63,7 @@ def make_hmc_step(max_leapfrogs: int, max_energy_diff: float = 1000.0):
         def body(carry):
             i, qc, pc, gc, _ = carry
             p_half = pc + 0.5 * step_size * gc
-            q_new = qc + step_size * p_half * inv_mass
+            q_new = qc + step_size * mass_vel(inv_mass, p_half)
             logp, g_new = logp_grad_fn(q_new)
             p_new = p_half + 0.5 * step_size * g_new
             return (i + 1, q_new, p_new, g_new, logp)
@@ -65,7 +71,7 @@ def make_hmc_step(max_leapfrogs: int, max_energy_diff: float = 1000.0):
         _, q1, p1, _, logp1 = jax.lax.while_loop(
             cond, body, (jnp.asarray(0, jnp.int32), q, p0, grad0, logp0)
         )
-        H1 = -logp1 + 0.5 * jnp.sum(p1 * p1 * inv_mass)
+        H1 = -logp1 + mass_kinetic(inv_mass, p1)
         dH = H1 - H0
         dH = jnp.where(jnp.isfinite(dH), dH, jnp.inf)
         accept_prob = jnp.exp(jnp.minimum(0.0, -dH))

@@ -30,6 +30,12 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from magi_v2_tpu.sampler.mass import (
+    mass_kinetic,
+    mass_sample_momentum,
+    mass_vel,
+)
+
 
 class NutsConfig(NamedTuple):
     max_tree_depth: int = 10       # TFP NoUTurnSampler default
@@ -44,13 +50,13 @@ class _LeafState(NamedTuple):
 
 
 def _kinetic(p, inv_mass):
-    return 0.5 * jnp.sum(p * p * inv_mass)
+    return mass_kinetic(inv_mass, p)
 
 
 def _leapfrog(logp_grad_fn, leaf: _LeafState, eps, inv_mass):
     """One leapfrog step; eps carries the direction sign."""
     p_half = leaf.p + 0.5 * eps * leaf.grad
-    q_new = leaf.q + eps * p_half * inv_mass
+    q_new = leaf.q + eps * mass_vel(inv_mass, p_half)
     logp_new, grad_new = logp_grad_fn(q_new)
     p_new = p_half + 0.5 * eps * grad_new
     return _LeafState(q_new, p_new, grad_new, logp_new)
@@ -64,8 +70,8 @@ def _is_turning(q_minus, p_minus, q_plus, p_plus, inv_mass):
     backward trajectories must orient dq by the integration direction.
     """
     dq = q_plus - q_minus
-    return (jnp.dot(dq, p_minus * inv_mass) < 0.0) | (
-        jnp.dot(dq, p_plus * inv_mass) < 0.0
+    return (jnp.dot(dq, mass_vel(inv_mass, p_minus)) < 0.0) | (
+        jnp.dot(dq, mass_vel(inv_mass, p_plus)) < 0.0
     )
 
 
@@ -159,8 +165,8 @@ def _build_subtree(
         t_ones = _trailing_ones(n)
         dir_sign = jnp.sign(eps_signed)
         dq = dir_sign * (leaf.q[None, :] - ckpt_q)        # (max_depth, dim)
-        v_cur = leaf.p * inv_mass
-        dots_ckpt = jnp.sum(dq * (ckpt_p * inv_mass[None, :]), axis=-1)
+        v_cur = mass_vel(inv_mass, leaf.p)
+        dots_ckpt = jnp.sum(dq * mass_vel(inv_mass, ckpt_p), axis=-1)
         dots_cur = dq @ v_cur
         slots = jnp.arange(cfg.max_tree_depth)
         active = (slots >= pc - t_ones) & (slots <= pc - 1)
@@ -214,7 +220,7 @@ def nuts_step(
     dt = q.dtype
     key_mom, key_loop = jax.random.split(key)
     logp, grad = logp_grad_fn(q)
-    p0 = jax.random.normal(key_mom, q.shape, dt) / jnp.sqrt(inv_mass)
+    p0 = mass_sample_momentum(inv_mass, key_mom, q.shape, dt)
     H0 = -logp + _kinetic(p0, inv_mass)
     root = _LeafState(q, p0, grad, logp)
 

@@ -29,6 +29,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from magi_v2_tpu.sampler.mass import (
+    identity_mass,
+    mass_diag,
+    mass_from_moments,
+    mass_kinetic,
+    mass_sample_momentum,
+    mass_tail_inv,
+    mass_vel,
+)
 from magi_v2_tpu.sampler.nuts import NutsConfig, nuts_step
 
 
@@ -67,6 +76,13 @@ class SamplerConfig(NamedTuple):
     # transient (mean drift inflates Welford variance) has settled.
     mass_window_begin: float = 0.45
     mass_window_end: float = 0.7
+    # Dense inverse-mass block over the LAST k flat-state coordinates (the
+    # (sigma_pre, theta_pre) tail; 0 = fully diagonal, the default). A
+    # diagonal cannot rotate the correlated theta ridge that forces long
+    # HMC trajectories; the k x k dense block (Stan's dense metric,
+    # estimated in the same Welford window with the same shrinkage) whitens
+    # it at negligible per-leapfrog cost. See sampler/mass.py.
+    dense_tail_size: int = 0
     # Host progress line every k steps via jax.debug.callback (0 = off) —
     # the in-graph replacement for the reference's tqdm (unusable under
     # XLA, magi_v2.py:285).
@@ -111,6 +127,7 @@ def _ckpt_fingerprint(config: "SamplerConfig", C: int, dim: int) -> str:
         f"{config.algorithm}/{config.anneal_mode}/{config.use_annealing}/"
         f"{config.adapt_mass_matrix}/{config.hmc_num_leapfrogs}/"
         f"{config.dispatch_block_steps}/C{C}/dim{dim}"
+        + (f"/tail{config.dense_tail_size}" if config.dense_tail_size else "")
     )
 
 
@@ -247,6 +264,42 @@ def _welford_variance(w: _Welford):
     return (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0))
 
 
+class _WelfordCov(NamedTuple):
+    """Full-covariance Welford accumulator for the dense tail block."""
+
+    count: jax.Array
+    mean: jax.Array    # (k,)
+    m2: jax.Array      # (k, k) sum of centered outer products
+
+
+def _welford_cov_init(k, dtype):
+    return _WelfordCov(
+        jnp.asarray(0.0, dtype), jnp.zeros(k, dtype), jnp.zeros((k, k), dtype)
+    )
+
+
+def _welford_cov_add_batch(w: _WelfordCov, xs):
+    """Merge a batch xs (C, k) via Chan's parallel covariance update."""
+    cb = jnp.asarray(xs.shape[0], xs.dtype)
+    bmean = jnp.mean(xs, axis=0)
+    xc = xs - bmean
+    bm2 = xc.T @ xc
+    delta = bmean - w.mean
+    tot = w.count + cb
+    mean = w.mean + delta * cb / tot
+    m2 = w.m2 + bm2 + jnp.outer(delta, delta) * w.count * cb / tot
+    return _WelfordCov(tot, mean, m2)
+
+
+def _welford_covariance(w: _WelfordCov):
+    """Regularized covariance (Stan's dense-metric shrinkage toward
+    1e-3 * I), mirroring _welford_variance."""
+    cov = w.m2 / jnp.maximum(w.count - 1.0, 1.0)
+    n = w.count
+    eye = jnp.eye(w.mean.shape[0], dtype=w.mean.dtype)
+    return (n / (n + 5.0)) * cov + 1e-3 * (5.0 / (n + 5.0)) * eye
+
+
 class ChainStats(NamedTuple):
     step_size: jax.Array          # final adapted step size (scalar)
     inv_mass: jax.Array           # (dim,) final inverse mass diagonal
@@ -254,6 +307,7 @@ class ChainStats(NamedTuple):
     num_leapfrogs: jax.Array      # (num_results, C)
     divergences: jax.Array        # (num_results, C) bool
     depths: jax.Array             # (num_results, C)
+    tail_inv_mass: jax.Array | None = None  # (k, k) dense tail block
 
 
 def run_nuts_chains(
@@ -344,15 +398,15 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
         overshoot it cannot recover from within the adaptation window
         (measured: eps -> 1e-30 and frozen chains at dim 3081)."""
         logp0, grad0 = tempered_logp_grad(q0_row, beta_temp)
-        p0 = jax.random.normal(key, q0_row.shape, dtype) / jnp.sqrt(inv_mass)
-        H0 = -logp0 + 0.5 * jnp.sum(p0 * p0 * inv_mass)
+        p0 = mass_sample_momentum(inv_mass, key, q0_row.shape, dtype)
+        H0 = -logp0 + mass_kinetic(inv_mass, p0)
 
         def log_accept(eps):
             p_half = p0 + 0.5 * eps * grad0
-            q1 = q0_row + eps * p_half * inv_mass
+            q1 = q0_row + eps * mass_vel(inv_mass, p_half)
             logp1, grad1 = tempered_logp_grad(q1, beta_temp)
             p1 = p_half + 0.5 * eps * grad1
-            H1 = -logp1 + 0.5 * jnp.sum(p1 * p1 * inv_mass)
+            H1 = -logp1 + mass_kinetic(inv_mass, p1)
             dH = jnp.where(jnp.isfinite(H1), H1 - H0, jnp.inf)
             return -dH
 
@@ -421,9 +475,18 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
         )
 
         if config.adapt_mass_matrix and win_hi > win_lo:
+            def add_batch(w):
+                wf, wf_tail = w
+                wf = _welford_add_batch(wf, qs)
+                if wf_tail is not None:
+                    wf_tail = _welford_cov_add_batch(
+                        wf_tail, qs[:, -config.dense_tail_size:]
+                    )
+                return (wf, wf_tail)
+
             welford = jax.lax.cond(
                 (step >= win_lo) & (step < win_hi),
-                lambda w: _welford_add_batch(w, qs),
+                add_batch,
                 lambda w: w,
                 welford,
             )
@@ -431,7 +494,14 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
             # shrinkage target around the current step size (Stan-style)
             def apply_mass(args):
                 da, welford, inv_mass = args
-                new_inv_mass = _welford_variance(welford)
+                wf, wf_tail = welford
+                var = _welford_variance(wf)
+                if wf_tail is None:
+                    new_inv_mass = var
+                else:
+                    new_inv_mass = mass_from_moments(
+                        var, _welford_covariance(wf_tail)
+                    )
                 eps_now = jnp.exp(da.log_step)
                 return (_da_init(eps_now, dtype)._replace(
                     mu=jnp.log(10.0 * eps_now)
@@ -499,14 +569,18 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
     )
 
     # --- warmup: blocks of steps, state carried across dispatches
-    inv_mass0 = jnp.ones(dim, dtype)
+    inv_mass0 = identity_mass(dim, config.dense_tail_size, dtype)
     if resume is not None and resume[0] == "sample":
         # warmup already completed in a previous process — skip it entirely
         scarry = restore((q0, key, jnp.asarray(0.1, dtype), inv_mass0),
                          resume[2])
         sample_done = resume[1]
     else:
-        welford0 = _welford_init(dim, dtype)
+        welford0 = (
+            _welford_init(dim, dtype),
+            _welford_cov_init(config.dense_tail_size, dtype)
+            if config.dense_tail_size > 0 else None,
+        )
         if resume is not None:            # mid-warmup checkpoint
             wcarry = restore(
                 (q0, key, _da_init(0.1, dtype), welford0, inv_mass0),
@@ -598,10 +672,11 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
     _, _, eps_final, inv_mass = scarry
     stats = ChainStats(
         step_size=eps_final,
-        inv_mass=inv_mass,
+        inv_mass=mass_diag(inv_mass),
         accept_probs=infos["accept_prob"],
         num_leapfrogs=infos["num_leapfrogs"],
         divergences=infos["diverging"],
         depths=infos["depth"],
+        tail_inv_mass=mass_tail_inv(inv_mass),
     )
     return samples, stats
