@@ -38,11 +38,16 @@ import numpy as np
 NUM_CHAINS = 256
 NUM_BURNIN = 1000
 NUM_RESULTS = 1000
-# L=192 crosses the decorrelation threshold of the slowest theta component:
-# measured ESS_min 829 (L64) -> 8256 (L128) -> 18038 (L192, saturating: 18541
-# at L256) and rhat 1.21 -> 1.013; seed-stable (1.013/1.026 across seeds);
-# ESS/s 24-72 across tunnel-variance runs vs 2.6 at L=64
-HMC_LEAPFROGS = 192
+# Operating point (measured, results/seir_dense_mass_probe.json): the full
+# dense metric (mass_matrix="dense") whitens the X-theta ridge (|corr| up
+# to 0.89, results/seir_corr_probe.json) that forced L=192 under the
+# diagonal metric (ESS_min 829 at L64 -> 18038 at L192). With the dense
+# metric, L=128 reaches ESS_min 43460 / rhat 1.005 (warmup_only cell) —
+# but L must stay >= ~128: at L64/L32 warmup mixes too slowly BEFORE the
+# Welford window, the covariance estimate degrades, and the adapted eps
+# collapses (measured rhat 1.9-2.1).
+HMC_LEAPFROGS = 128
+MASS_MATRIX = "dense"
 
 
 def main():
@@ -102,6 +107,9 @@ def main():
         # theta recovery and better R-hat (BASELINE_MEASURED.json)
         algorithm="hmc",
         hmc_num_leapfrogs=HMC_LEAPFROGS,
+        # full-state dense inverse mass estimated in the Welford window
+        # (sampler/mass.py): rotates the X-theta ridge a diagonal cannot
+        mass_matrix=MASS_MATRIX,
         # sample the same (tempered) posterior as the reference so the
         # vs_baseline ratio compares identical statistical tasks; the
         # library default is the statistically-sound warmup_only mode
@@ -182,6 +190,7 @@ def main():
             "num_chains": NUM_CHAINS,
             "steps": f"{NUM_BURNIN}+{NUM_RESULTS}",
             "hmc_leapfrogs": HMC_LEAPFROGS,
+            "mass_matrix": MASS_MATRIX,
             "divergence_rate": runs[0]["divergence_rate"],
             "device": str(jax.devices()[0]),
         },

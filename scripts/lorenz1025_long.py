@@ -56,6 +56,12 @@ def main():
                          "5000+5000 DEVIATIONS #16; Lorenz N_I=1025 floor "
                          "0.15, run r3j — theta mean fell to (2.5, 24.8, "
                          "0.64) as chains actually mixed)")
+    ap.add_argument("--mass", default="diag",
+                    choices=["diag", "tail_dense"],
+                    help="'tail_dense' adds a dense inverse-mass block over "
+                         "theta_pre (sigma is pinned in the acceptance "
+                         "recipe), rotating theta-theta ridges a diagonal "
+                         "metric cannot")
     ap.add_argument("--n-obs", type=int, default=257)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
@@ -124,6 +130,7 @@ def main():
         use_annealing=not args.untempered,
         anneal_mode=args.anneal_mode,
         sigma_sqs_fixed=(args.sigma_fixed or None),
+        mass_matrix=args.mass,
     )
     wall = time.time() - t0
 

@@ -46,6 +46,45 @@ def test_sharded_sampler_matches_unsharded():
     assert np.isfinite(float(stats.step_size))
 
 
+def test_sharded_tail_dense_mass_matches_unsharded():
+    """The dense tail metric's Welford COVARIANCE pooling reduces over the
+    sharded chain axis (a cross-device all-reduce GSPMD must insert) and
+    the (k,k) mass blocks live replicated in the scan carry. Unlike the
+    diag path, the cross-device covariance sum has a device-dependent
+    reduction order, so bit-identity is NOT guaranteed — measured
+    max|diff| 4e-9 on an O(1)-scale state. Assert closeness at a tolerance
+    that still catches any real pooling bug (wrong denominator, missed
+    all-reduce, stale block), all of which perturb the metric by O(1)."""
+    from magi_v2_tpu.sampler import run_nuts_chains
+
+    # correlated tail target: the off-diagonal covariance is load-bearing
+    # for the adapted metric, so a pooling bug would change the dynamics
+    rho = 0.9
+    prec = jnp.linalg.inv(jnp.asarray([[1.0, rho], [rho, 1.0]]))
+
+    def logp_grad(q, beta_temp):
+        head, tail = q[:2], q[2:]
+        g_tail = -tail @ prec
+        return (
+            -0.5 * jnp.sum(head**2) - 0.5 * tail @ prec @ tail,
+            jnp.concatenate([-head, g_tail]),
+        )
+
+    cfg = SamplerConfig(
+        num_results=20, num_burnin_steps=60, use_annealing=False,
+        adapt_mass_matrix=True, dense_tail_size=2,
+        algorithm="hmc", hmc_num_leapfrogs=8,
+    )
+    q0 = jnp.zeros((8, 4)) + 0.3
+    key = jax.random.PRNGKey(2)
+    s_ref, _ = run_nuts_chains(logp_grad, q0, key, cfg)
+    s_sh, stats = run_nuts_chains_sharded(logp_grad, q0, key, cfg)
+    np.testing.assert_allclose(
+        np.asarray(s_sh), np.asarray(s_ref), rtol=1e-5, atol=1e-6
+    )
+    assert np.isfinite(float(stats.step_size))
+
+
 def test_sharded_rejects_uneven_chains():
     import pytest
 
