@@ -3,13 +3,17 @@ chains (BASELINE.json configs[4]: N_I > 1000, 256 chains).
 
 Grid-density note (measured): at N_I=513 theta recovery is essentially
 exact — (9.97, 27.99, 2.66) vs (10, 28, 8/3) — with healthy step sizes
-(~0.16). At N_I=1025 the run completes but mixes slowly (eps ~1e-3-1e-4
-even in float64 and even under the Gauss-Newton whitening): K^{-1}
-stiffness grows ~h^-4, amplifying the ODE nonlinearity's deviation from
-any fixed linearization. This is inherent to MAGI on dense grids for
-chaotic systems — the reference, with no preconditioning at all, is far
-worse off — so prefer the coarser grid unless the extra resolution is
-required. Use --n-obs / the quick flag to choose."""
+(~0.16), so use --n-obs 129 when the coarser resolution suffices. The
+N_I=1025 dense grid has a converged supported recipe —
+scripts/lorenz1025_long.py: banded GN whitening, no refresh, the
+reference anneal schedule pinned at a 0.15 temperature floor, sigma
+pinned — measured rhat 1.0498 / ESS_min 4994 / eps 0.144
+(results/lorenz1025_r3j.json). The beta=1 target at that density is
+eps-collapsed for ANY fixed metric (K^{-1} stiffness grows ~h^-4;
+BASELINE_MEASURED "dense_grid_beta1_obstruction"), and the tempered
+target carries a floor-independent theta bias ~(-8..-11, -1..-3, -11)%
+— a property of the dense-grid MAGI posterior itself. The reference,
+with no preconditioning at all, cannot sample this regime."""
 
 import argparse
 import time

