@@ -74,8 +74,10 @@ def save_results(results: dict, path: str) -> None:
     for k, v in results.items():
         if k == "kernel_results":
             for kk, vv in v.items():
+                if vv is None:  # e.g. tail_inv_mass without a dense tail
+                    continue
                 arrays[f"kernel_results.{kk}"] = np.asarray(vv)
-        else:
+        elif v is not None:
             arrays[k] = np.asarray(v)
     np.savez_compressed(path, **arrays)
 
