@@ -168,7 +168,8 @@ def main():
             f"restart={args.restart} scatter={args.scatter}, "
             f"{'untempered' if args.untempered else args.anneal_mode}"
             f"(floor={args.min_temp}), "
-            f"sigma={'fixed %g' % args.sigma_fixed if args.sigma_fixed else 'free'}, f32"
+            f"sigma={'fixed %g' % args.sigma_fixed if args.sigma_fixed else 'free'}, "
+            f"mass={args.mass}, f32"
         ),
         "theta_mean": [round(float(v), 4) for v in theta_mean],
         "theta_sd": [
