@@ -38,15 +38,23 @@ import numpy as np
 NUM_CHAINS = 256
 NUM_BURNIN = 1000
 NUM_RESULTS = 1000
-# Operating point (measured, results/seir_dense_mass_probe.json): the full
-# dense metric (mass_matrix="dense") whitens the X-theta ridge (|corr| up
-# to 0.89, results/seir_corr_probe.json) that forced L=192 under the
-# diagonal metric (ESS_min 829 at L64 -> 18038 at L192). With the dense
-# metric, L=128 reaches ESS_min 43460 / rhat 1.005 (warmup_only cell) —
-# but L must stay >= ~128: at L64/L32 warmup mixes too slowly BEFORE the
-# Welford window, the covariance estimate degrades, and the adapted eps
-# collapses (measured rhat 1.9-2.1).
+# Operating points (measured, results/seir_dense_mass_probe.json +
+# BASELINE_MEASURED "round3_dense_mass"): the full dense metric
+# (mass_matrix="dense") whitens the X-theta ridge (|corr| up to 0.89,
+# results/seir_corr_probe.json) that forced L=192 under the diagonal
+# metric (ESS_min 829 at L64 -> 18038 at L192). Dense-metric L-sweep on
+# the TRUE posterior (warmup_only, ESS_min is the tunnel-robust
+# quantity): L=96 -> 826 (warmup collapses below L~128), L=128 -> 43460,
+# L=160 -> 113116, L=192 -> 177366 (the ESS-per-leapfrog peak, rhat
+# 1.0005, reproduced at 188126 on a second seed), L=256 -> 132246.
+# The TEMPERED cell (the headline, reference anneal schedule) is
+# seed-fragile above L=128: measured worst-seed ESS_min 1664 (rhat
+# 1.046) at L=160 and 5033 (div 1.2%) at L=192 vs 27146 (div 0.16%)
+# at L=128 — the annealed warmup's dense-covariance estimate degrades
+# on some seeds at long L. So the tempered headline runs the robust
+# L=128 and the true-posterior datapoint runs its own optimum L=192.
 HMC_LEAPFROGS = 128
+TRUE_POST_LEAPFROGS = 192
 MASS_MATRIX = "dense"
 
 
@@ -151,8 +159,10 @@ def main():
 
     # the true-posterior datapoint (library default anneal_mode): the
     # tempered headline compares like-for-like with the reference, this one
-    # certifies throughput on the statistically-sound target
-    true_post = timed_run(3, anneal_mode="warmup_only")
+    # certifies throughput on the statistically-sound target (at its own
+    # measured-optimal trajectory length; see the operating-point note)
+    true_post = timed_run(3, anneal_mode="warmup_only",
+                          hmc_num_leapfrogs=TRUE_POST_LEAPFROGS)
 
     baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
     vs_baseline = None
@@ -186,6 +196,7 @@ def main():
                 "ess_min": round(true_post["ess_min"], 1),
                 "rhat_max": round(true_post["rhat_max"], 4),
                 "wall_s": round(true_post["wall_s"], 2),
+                "hmc_leapfrogs": TRUE_POST_LEAPFROGS,
             },
             "num_chains": NUM_CHAINS,
             "steps": f"{NUM_BURNIN}+{NUM_RESULTS}",

@@ -44,12 +44,17 @@ def main():
                     f_vec=seir_f_vec, config=cfg)
     model.initial_fit(discretization=1)
 
-    cells = [
-        ("dense", 64),
-        ("dense", 32),
-        ("diag", 64),       # diagonal reference at the same L
-        ("dense", 128),
-    ]
+    # cells from argv ("dense:96,dense:160") or the original default grid
+    if len(sys.argv) > 1:
+        cells = [(m, int(L)) for m, L in
+                 (c.split(":") for c in sys.argv[1].split(","))]
+    else:
+        cells = [
+            ("dense", 64),
+            ("dense", 32),
+            ("diag", 64),       # diagonal reference at the same L
+            ("dense", 128),
+        ]
     out = {}
     for mass, L in cells:
         t0 = time.time()
@@ -77,6 +82,11 @@ def main():
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "..", "results", "seir_dense_mass_probe.json")
+    if os.path.exists(path):  # merge so argv re-runs keep earlier cells
+        with open(path) as fh:
+            merged = json.load(fh)
+        merged.update(out)
+        out = merged
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
 
