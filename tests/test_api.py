@@ -146,6 +146,27 @@ def test_checkpoint_roundtrip(fitted_model, tmp_path):
     np.testing.assert_allclose(
         r1b["kernel_results"]["step_size"], r1["kernel_results"]["step_size"]
     )
+    # diag metric: tail_inv_mass is None and must be OMITTED from the NPZ
+    # (np.asarray(None) is an object array load_results cannot read back)
+    assert r1["kernel_results"]["tail_inv_mass"] is None
+    assert "tail_inv_mass" not in r1b["kernel_results"]
+
+
+def test_results_roundtrip_dense_tail(fitted_model, tmp_path):
+    """save/load_results with a dense(-tail) metric persists the tail block."""
+    from magi_v2_tpu.utils.checkpoint import load_results, save_results
+
+    r = fitted_model.predict(num_results=5, num_burnin_steps=5, seed=3,
+                             mass_matrix="dense")
+    assert r["kernel_results"]["tail_inv_mass"] is not None
+    rp = str(tmp_path / "res_dense.npz")
+    save_results(r, rp)
+    rb = load_results(rp)
+    np.testing.assert_allclose(
+        rb["kernel_results"]["tail_inv_mass"],
+        r["kernel_results"]["tail_inv_mass"],
+    )
+    np.testing.assert_allclose(rb["X_samps"], r["X_samps"])
 
 
 def test_extend_for_forecast(seir_data):
