@@ -498,6 +498,7 @@ class MAGI_v2:
         anneal_mode: str = "warmup_only",
         matmul_precision: str = "highest",
         mass_matrix: str = "diag",
+        dense_shrinkage: float = 0.0,
         sigma_sqs_fixed=None,
         map_warmstart_iters: int = 0,
         precond_refresh_steps: int = 0,
@@ -532,7 +533,10 @@ class MAGI_v2:
         just theta_pre when sigma_sqs_fixed pins sigma. The tail block is
         low-dimensional but ridge-correlated, e.g. SEIR beta/gamma through
         R0; the dense block whitens the ridge so short HMC trajectories
-        decorrelate theta). Requires adapt_mass_matrix.
+        decorrelate theta). Requires adapt_mass_matrix. ``dense_shrinkage``
+        (0..1) pulls the dense block's estimated correlations toward the
+        diagonal — a robustness lever for tempered warmup's covariance
+        misestimation at long trajectories (SamplerConfig.dense_shrinkage).
 
         checkpoint_path: directory for mid-run crash recovery ("" = off).
         Every dispatch block's sampler state + draws are persisted
@@ -663,6 +667,7 @@ class MAGI_v2:
             dense_tail_size=self._dense_tail_size(
                 mass_matrix, sigma_sqs_fixed
             ),
+            dense_shrinkage=dense_shrinkage,
             checkpoint_path=checkpoint_path,
         )
 

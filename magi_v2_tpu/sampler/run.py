@@ -83,6 +83,16 @@ class SamplerConfig(NamedTuple):
     # estimated in the same Welford window with the same shrinkage) whitens
     # it at negligible per-leapfrog cost. See sampler/mass.py.
     dense_tail_size: int = 0
+    # Shrink the dense block's estimated CORRELATIONS toward the diagonal:
+    # cov <- (1-s)*cov + s*diag(cov) (marginal scales untouched). 0.0
+    # (default) keeps the raw Stan-regularized estimate. Motivation: the
+    # TEMPERED (anneal_mode='reference') warmup is seed-fragile at long
+    # trajectories — on some seeds the annealed Welford window yields a
+    # degraded covariance and ESS_min drops 5-16x (measured on the SEIR
+    # bench at L=160/192, BASELINE_MEASURED "l_sweep_extension"); partial
+    # shrinkage trades whitening quality for robustness to that
+    # misestimation.
+    dense_shrinkage: float = 0.0
     # Host progress line every k steps via jax.debug.callback (0 = off) —
     # the in-graph replacement for the reference's tqdm (unusable under
     # XLA, magi_v2.py:285).
@@ -291,13 +301,19 @@ def _welford_cov_add_batch(w: _WelfordCov, xs):
     return _WelfordCov(tot, mean, m2)
 
 
-def _welford_covariance(w: _WelfordCov):
+def _welford_covariance(w: _WelfordCov, shrinkage: float = 0.0):
     """Regularized covariance (Stan's dense-metric shrinkage toward
-    1e-3 * I), mirroring _welford_variance."""
+    1e-3 * I), mirroring _welford_variance. ``shrinkage`` additionally
+    pulls the off-diagonals toward zero (correlation shrinkage; marginals
+    untouched) — see SamplerConfig.dense_shrinkage."""
     cov = w.m2 / jnp.maximum(w.count - 1.0, 1.0)
     n = w.count
     eye = jnp.eye(w.mean.shape[0], dtype=w.mean.dtype)
-    return (n / (n + 5.0)) * cov + 1e-3 * (5.0 / (n + 5.0)) * eye
+    cov = (n / (n + 5.0)) * cov + 1e-3 * (5.0 / (n + 5.0)) * eye
+    if shrinkage > 0.0:
+        s = jnp.asarray(shrinkage, cov.dtype)
+        cov = (1.0 - s) * cov + s * jnp.diag(jnp.diag(cov))
+    return cov
 
 
 class ChainStats(NamedTuple):
@@ -500,7 +516,8 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
                     new_inv_mass = var
                 else:
                     new_inv_mass = mass_from_moments(
-                        var, _welford_covariance(wf_tail)
+                        var,
+                        _welford_covariance(wf_tail, config.dense_shrinkage),
                     )
                 eps_now = jnp.exp(da.log_step)
                 return (_da_init(eps_now, dtype)._replace(

@@ -200,3 +200,61 @@ def test_dense_tail_checkpoint_resume_bit_identical(tmp_path):
     )
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(first))
     np.testing.assert_array_equal(np.asarray(first), np.asarray(resumed))
+
+
+def test_dense_shrinkage_semantics():
+    """dense_shrinkage: 0.0 is bit-identical to the default estimator;
+    1.0 zeroes the learned correlations (diagonal tail block); partial
+    values interpolate the off-diagonals and keep marginals untouched."""
+    from magi_v2_tpu.sampler.run import (
+        _welford_cov_add_batch, _welford_cov_init, _welford_covariance,
+    )
+
+    w = _welford_cov_init(2, jnp.float32)
+    xs = jnp.asarray(
+        np.random.default_rng(0).multivariate_normal(
+            [0.0, 0.0], [[1.0, 0.95], [0.95, 1.0]], size=4000
+        ),
+        jnp.float32,
+    )
+    w = _welford_cov_add_batch(w, xs)
+    base = np.asarray(_welford_covariance(w))
+    np.testing.assert_array_equal(
+        np.asarray(_welford_covariance(w, 0.0)), base
+    )
+    half = np.asarray(_welford_covariance(w, 0.5))
+    np.testing.assert_allclose(np.diag(half), np.diag(base), rtol=1e-6)
+    np.testing.assert_allclose(half[0, 1], 0.5 * base[0, 1], rtol=1e-6)
+    full = np.asarray(_welford_covariance(w, 1.0))
+    assert full[0, 1] == 0.0 and full[1, 0] == 0.0
+    np.testing.assert_allclose(np.diag(full), np.diag(base), rtol=1e-6)
+
+
+def test_dense_shrinkage_end_to_end_zeroes_tail_correlation():
+    """Full shrinkage through the sampler: the adapted tail block is
+    diagonal, so dynamics reduce to the diag metric on the ridge target."""
+    rho = 0.99
+    cov = np.array([
+        [1.0, 0.0, 0.0],
+        [0.0, 1.0, rho],
+        [0.0, rho, 1.0],
+    ])
+    cov_inv = jnp.asarray(np.linalg.inv(cov), jnp.float32)
+    cfg = SamplerConfig(
+        num_results=50,
+        num_burnin_steps=400,
+        use_annealing=False,
+        algorithm="hmc",
+        hmc_num_leapfrogs=8,
+        dense_tail_size=2,
+        dense_shrinkage=1.0,
+    )
+    q0 = jnp.asarray(
+        np.random.default_rng(0).normal(size=(8, 3)), jnp.float32
+    )
+    _, stats = run_nuts_chains(
+        _gaussian_logp_grad(cov_inv), q0, jax.random.PRNGKey(2), cfg
+    )
+    tail = np.asarray(stats.tail_inv_mass)
+    assert tail[0, 1] == 0.0 and tail[1, 0] == 0.0
+    assert np.all(np.diag(tail) > 0.0)
