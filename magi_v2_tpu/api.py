@@ -456,6 +456,20 @@ class MAGI_v2:
         them. "dense" covers the whole flat state (Stan's dense metric) —
         the mode that whitens the X-theta ridge (measured |corr| up to
         0.89 on the SEIR bench, results/seir_corr_probe.json)."""
+        if mass_matrix == "auto":
+            # Measured operating points (BASELINE_MEASURED.json
+            # "round3_dense_mass"): the full dense metric is 10-40x better
+            # ESS/s than the diagonal on small-state configs (it whitens
+            # the X-theta ridge), but its O(dim^2) momentum ops would
+            # dominate a banded O(N_I*b) leapfrog on dense grids — there
+            # the cheap (sigma,theta) tail block keeps the ridge rotation
+            # where it matters. sigma pinning excludes "dense" outright
+            # (ballistic pinned coordinates poison the full-state moments).
+            full_dim = self.mag_I * self.D + self.D + self.D_thetas
+            if sigma_sqs_fixed is None and full_dim <= 1024:
+                mass_matrix = "dense"
+            else:
+                mass_matrix = "tail_dense"
         if mass_matrix == "diag":
             return 0
         if mass_matrix == "tail_dense":
@@ -472,8 +486,8 @@ class MAGI_v2:
                 )
             return self.mag_I * self.D + self.D + self.D_thetas
         raise ValueError(
-            f"unknown mass_matrix {mass_matrix!r}; expected 'diag', "
-            "'tail_dense' or 'dense'"
+            f"unknown mass_matrix {mass_matrix!r}; expected 'auto', "
+            "'diag', 'tail_dense' or 'dense'"
         )
 
     # ------------------------------------------------------------------
@@ -528,7 +542,10 @@ class MAGI_v2:
         reference (measured stiffness ~1e8 -> step sizes ~1e-2).
 
         mass_matrix: "diag" (per-coordinate inverse mass from the Welford
-        window — the default) or "tail_dense" (additionally estimate a
+        window — the default), "auto" (pick the measured-best mode for the
+        state size: full "dense" on small states, "tail_dense" on dense
+        grids or with sigma pinned — the recommended setting; see the
+        README recipe table) or "tail_dense" (additionally estimate a
         dense inverse-mass block over the (sigma_pre, theta_pre) tail —
         just theta_pre when sigma_sqs_fixed pins sigma. The tail block is
         low-dimensional but ridge-correlated, e.g. SEIR beta/gamma through
@@ -772,7 +789,21 @@ class MAGI_v2:
         kernel matrices. The reference documents this workflow but leaves
         the observation-side update to the user (magi_v2.py:428-431); this
         helper completes it. Call predict() afterwards.
+
+        Requires a UNIFORM fit grid: the extension reuses the fit grid's
+        spacing, and on a non-uniform grid ``I[1]-I[0]`` would silently
+        fabricate a different grid (observation indices would then point at
+        the wrong rows). Non-uniform users should build ``I_new`` themselves
+        and call update_kernel_matrices (the reference's documented
+        workflow, magi_v2.py:428-462).
         """
+        dts = np.diff(self.I[:, 0])
+        if not np.allclose(dts, dts[0], rtol=1e-8, atol=1e-12 * abs(dts[0])):
+            raise ValueError(
+                "extend_for_forecast requires a uniform fit grid (measured "
+                f"spacings span [{dts.min():.6g}, {dts.max():.6g}]); extend "
+                "the grid yourself and call update_kernel_matrices instead"
+            )
         dt = self.I[1, 0] - self.I[0, 0]
         I_new = np.arange(self.I[0, 0], t_max_new + dt / 2, dt)
         n_pad = len(I_new) - self.mag_I

@@ -129,16 +129,62 @@ class SamplerConfig(NamedTuple):
     checkpoint_path: str = ""
 
 
-def _ckpt_fingerprint(config: "SamplerConfig", C: int, dim: int) -> str:
-    """Identity of a run for resume safety: every field that changes the
-    step sequence, plus the chain/state shape."""
+_CKPT_VERSION = "v2"
+
+
+def _ckpt_fingerprint(config: "SamplerConfig", C: int, dim: int,
+                      key, q0) -> str:
+    """Identity of a run for resume safety.
+
+    Covers EVERY SamplerConfig field except the two pure-I/O knobs
+    (progress_every, checkpoint_path — neither touches the step or PRNG
+    sequence), plus the chain/state shape, the PRNG key, and a digest of
+    the initial chain states. The round-3 fingerprint listed fields by
+    hand and omitted dense_shrinkage / matmul_precision / hmc_jitter /
+    target_accept / adaptation_fraction / mass_window_* / max_tree_depth /
+    anneal_min_temp and the seed — re-calling with any of those changed
+    silently resumed the old run's step sequence. Bumping _CKPT_VERSION
+    (or the format change itself) invalidates pre-round-4 checkpoints;
+    that is the safe direction.
+    """
+    import hashlib
+
+    ident = config._replace(progress_every=0, checkpoint_path="")
+    q0_digest = hashlib.blake2b(
+        np.ascontiguousarray(np.asarray(q0)).tobytes(), digest_size=8
+    ).hexdigest()
+    key_hex = np.ascontiguousarray(np.asarray(key)).tobytes().hex()
     return (
-        f"{config.num_results}/{config.num_burnin_steps}/{config.thin}/"
-        f"{config.algorithm}/{config.anneal_mode}/{config.use_annealing}/"
-        f"{config.adapt_mass_matrix}/{config.hmc_num_leapfrogs}/"
-        f"{config.dispatch_block_steps}/C{C}/dim{dim}"
-        + (f"/tail{config.dense_tail_size}" if config.dense_tail_size else "")
+        f"{_CKPT_VERSION}/{ident!r}/C{C}/dim{dim}/"
+        f"key{key_hex}/q0{q0_digest}"
     )
+
+
+def _ckpt_restore_carry(template, leaves):
+    """Rebuild a scan carry from checkpointed leaves, re-applying each
+    template leaf's dtype AND sharding — a resumed run must come back with
+    the caller's mesh layout (bare jnp.asarray left a sharded run's carry
+    on the default device after resume, silently dropping SPMD)."""
+    t_leaves = jax.tree.leaves(template)
+    if len(t_leaves) != len(leaves):
+        raise ValueError(
+            f"checkpoint carry has {len(leaves)} leaves, expected "
+            f"{len(t_leaves)} — incompatible checkpoint"
+        )
+    out = []
+    for t, x in zip(t_leaves, leaves):
+        x = jnp.asarray(x)
+        if isinstance(t, jax.Array):
+            x = x.astype(t.dtype)
+            # Re-commit only leaves the caller committed (the sharded q0;
+            # scalars/keys stay uncommitted exactly as in a fresh run —
+            # committing them to their single default device would clash
+            # with the multi-device chain leaves inside one jit).
+            if (len(t.sharding.device_set) > 1
+                    or getattr(t, "_committed", False)):
+                x = jax.device_put(x, t.sharding)
+        out.append(x)
+    return jax.tree.unflatten(jax.tree.structure(template), out)
 
 
 def _ckpt_save_state(dirpath, phase, nxt, carry, fingerprint):
@@ -578,12 +624,9 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
         return out
 
     ck = config.checkpoint_path
-    fingerprint = _ckpt_fingerprint(config, C, dim) if ck else ""
+    fingerprint = _ckpt_fingerprint(config, C, dim, key, q0) if ck else ""
     resume = _ckpt_load_state(ck, fingerprint) if ck else None
-    restore = lambda template, leaves: jax.tree.unflatten(
-        jax.tree.structure(template),
-        [jnp.asarray(x) for x in leaves],
-    )
+    restore = _ckpt_restore_carry
 
     # --- warmup: blocks of steps, state carried across dispatches
     inv_mass0 = identity_mass(dim, config.dense_tail_size, dtype)

@@ -66,12 +66,18 @@ def theta_cond_mode(K_effs, m_ds, X, mu_ds):
         (x, -(x * z) - y),                # f2 = th1*x - xz - y
         (-z, x * y),                      # f3 = -th2*z + xy
     ]
-    theta = []
+    theta, quads = [], []
     for d, (a, f0) in enumerate(parts):
         c = m_ds[d] @ Xc[:, d] - f0       # residual r = theta*a - c
         Ka = K_effs[d] @ a
-        theta.append(float((c @ Ka) / (a @ Ka)))
-    return np.array(theta)
+        quad = float(a @ Ka)
+        # banded-raw K_eff = band(K_inv, b) is severely indefinite at these
+        # grid sizes (posterior.to_banded_data docstring): the stationary
+        # point is then not a WLS minimizer — flag it rather than divide
+        # silently (ADVICE r3)
+        quads.append(quad)
+        theta.append(float((c @ Ka) / quad))
+    return np.array(theta), np.array(quads)
 
 
 def run_case(n_obs, disc, bands):
@@ -108,13 +114,19 @@ def run_case(n_obs, disc, bands):
     out = {"N_I": N_I, "theta_true": true.tolist(), "cases": {}}
 
     def record(name, K_effs, m_eff):
-        th = theta_cond_mode(K_effs, m_eff, X, mu)
+        th, quads = theta_cond_mode(K_effs, m_eff, X, mu)
         out["cases"][name] = {
             "theta": [round(v, 4) for v in th],
             "rel_err": [round(v, 4) for v in (th - true) / true],
+            # a' K_eff a per component: the stationary point is a genuine
+            # WLS minimizer only when positive (raw band_part truncation
+            # can make K_eff indefinite)
+            "quad_form": [float(f"{q:.4g}") for q in quads],
+            "quad_positive": bool(np.all(quads > 0)),
         }
         print(f"  N_I={N_I} {name:24s} theta={np.round(th, 3)} "
-              f"rel={np.round((th - true) / true, 4)}", flush=True)
+              f"rel={np.round((th - true) / true, 4)} "
+              f"quad_pos={bool(np.all(quads > 0))}", flush=True)
 
     record("dense", K_inv, m_ds)
     for b in bands:

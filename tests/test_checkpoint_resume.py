@@ -125,3 +125,123 @@ def test_fingerprint_mismatch_rejected(tmp_path):
     _run(_cfg(ck))
     with pytest.raises(ValueError, match="different .*run"):
         _run(_cfg(ck, num_results=50))
+
+
+# Round-3 fingerprint omitted these fields; changing any of them after a
+# checkpoint silently resumed the old run's step sequence (VERDICT r3
+# Weak #2). Every SamplerConfig field except the pure-I/O knobs
+# (progress_every, checkpoint_path) must now invalidate the checkpoint.
+@pytest.mark.parametrize(
+    "field,value",
+    [
+        ("dense_shrinkage", 0.2),
+        ("matmul_precision", "high"),
+        ("hmc_jitter", False),
+        ("target_accept", 0.9),
+        ("adaptation_fraction", 0.5),
+        ("mass_window_begin", 0.4),
+        ("mass_window_end", 0.75),
+        ("max_tree_depth", 4),
+        ("anneal_min_temp", 0.2),
+        ("initial_step_size", 0.2),
+        ("max_energy_diff", 500.0),
+        ("thin", 2),
+        ("algorithm", "hmc"),
+        ("hmc_num_leapfrogs", 16),
+        ("use_annealing", True),
+        ("anneal_mode", "warmup_only"),
+        ("adapt_mass_matrix", False),
+        ("dense_tail_size", 2),
+        ("num_burnin_steps", 20),
+        ("dispatch_block_steps", 5),
+    ],
+)
+def test_every_config_field_fingerprinted(tmp_path, field, value):
+    ck = str(tmp_path / "ck")
+    _run(_cfg(ck))
+    with pytest.raises(ValueError, match="different .*run"):
+        _run(_cfg(ck, **{field: value}))
+
+
+def test_seed_and_initial_state_fingerprinted(tmp_path):
+    """The PRNG key and the initial chain states also determine the draw
+    sequence — changing either must refuse to resume."""
+    lp = _gaussian_lp(jnp.eye(DIM))
+    ck = str(tmp_path / "ck")
+    q0 = jnp.zeros((CHAINS, DIM)) + 1.0
+    run_nuts_chains(lp, q0, jax.random.PRNGKey(7), _cfg(ck))
+    with pytest.raises(ValueError, match="different .*run"):
+        run_nuts_chains(lp, q0, jax.random.PRNGKey(8), _cfg(ck))
+    with pytest.raises(ValueError, match="different .*run"):
+        run_nuts_chains(lp, q0 + 0.5, jax.random.PRNGKey(7), _cfg(ck))
+
+
+def test_progress_and_path_not_fingerprinted(tmp_path, monkeypatch):
+    """The two pure-I/O knobs must NOT invalidate a checkpoint: a resumed
+    run may legitimately turn verbose printing on, and checkpoint_path
+    itself obviously differs from ''. (progress_every only matters where
+    callbacks are supported; CPU CI supports them.)"""
+    ck = str(tmp_path / "ck")
+    samples1, _ = _run(_cfg(ck))
+
+    def boom(*a, **k):
+        raise AssertionError("re-dispatched on a complete checkpoint")
+
+    monkeypatch.setattr(run_mod, "_ckpt_save_draws", boom)
+    samples2, _ = _run(_cfg(ck, progress_every=1000))
+    np.testing.assert_array_equal(np.asarray(samples1), np.asarray(samples2))
+
+
+def test_restore_carry_reapplies_sharding():
+    """_ckpt_restore_carry must place each leaf with the template's
+    sharding, not the default device (the round-3 restore used bare
+    jnp.asarray, so a sharded run resumed unsharded)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from magi_v2_tpu.parallel import chain_mesh
+
+    mesh = chain_mesh()
+    sharding = NamedSharding(mesh, P("chains", None))
+    template = (
+        jax.device_put(jnp.zeros((8, 4)), sharding),
+        jnp.asarray(0.1),
+    )
+    leaves = [np.ones((8, 4)), np.asarray(0.2)]
+    restored = run_mod._ckpt_restore_carry(template, leaves)
+    assert restored[0].sharding.is_equivalent_to(sharding, 2)
+    np.testing.assert_array_equal(np.asarray(restored[0]), leaves[0])
+    assert float(restored[1]) == 0.2
+
+
+def test_sharded_crash_mid_sampling_resumes_bit_identically(
+    tmp_path, monkeypatch
+):
+    """A SHARDED run killed mid-sampling must resume sharded and
+    bit-identical (VERDICT r3 Weak #2: the restore path and the mesh
+    feature had never been exercised together)."""
+    from magi_v2_tpu.parallel import run_nuts_chains_sharded
+
+    lp = _gaussian_lp(jnp.eye(DIM))
+    q0 = jnp.zeros((8, DIM)) + 1.0
+    key = jax.random.PRNGKey(7)
+
+    samples_ref, _ = run_nuts_chains_sharded(lp, q0, key, _cfg())
+
+    ck = str(tmp_path / "ck")
+    real_save = run_mod._ckpt_save_draws
+    calls = {"n": 0}
+
+    def crash_after_two(dirpath, start, s_blk, info):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("simulated tunnel drop")
+        real_save(dirpath, start, s_blk, info)
+
+    monkeypatch.setattr(run_mod, "_ckpt_save_draws", crash_after_two)
+    with pytest.raises(RuntimeError, match="simulated tunnel drop"):
+        run_nuts_chains_sharded(lp, q0, key, _cfg(ck))
+    monkeypatch.setattr(run_mod, "_ckpt_save_draws", real_save)
+
+    samples, _ = run_nuts_chains_sharded(lp, q0, key, _cfg(ck))
+    np.testing.assert_array_equal(np.asarray(samples_ref),
+                                  np.asarray(samples))
