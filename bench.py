@@ -62,6 +62,43 @@ TRUE_POST_LEAPFROGS = 192
 MASS_MATRIX = "dense"
 
 
+def _microbench_fused_eval(model, dtype, iters=2000, repeats=3):
+    """Median fused log-posterior+grad evals/sec/chip over ``repeats``
+    timed dispatches of ``iters`` chained vmapped evals (256 chains)."""
+    import jax
+    import jax.numpy as jnp
+
+    from magi_v2_tpu.sampler.magi_state import flatten_state
+
+    mode, *_ = model._build_sampling_setup("precond", "dense", dtype)
+    logp_grad = mode.logp_grad
+    q0 = flatten_state(
+        mode.X0,
+        jnp.zeros((model.D,), dtype),
+        jnp.zeros((model.D_thetas,), dtype),
+    )
+    q = jnp.broadcast_to(q0, (NUM_CHAINS, q0.shape[0]))
+    one = jnp.asarray(1.0, dtype)
+
+    @jax.jit
+    def run(q):
+        def body(q, _):
+            v, g = jax.vmap(lambda r: logp_grad(r, one))(q)
+            # tiny state feedback serializes the evals and defeats DCE
+            return q + jnp.asarray(1e-6, dtype) * g, v
+        q, vs = jax.lax.scan(body, q, None, length=iters)
+        return q, vs
+
+    walls = []
+    with jax.default_matmul_precision("highest"):
+        jax.block_until_ready(run(q))          # compile
+        for _ in range(repeats):
+            t0 = time.time()
+            jax.block_until_ready(run(q))
+            walls.append(time.time() - t0)
+    return iters * NUM_CHAINS / sorted(walls)[len(walls) // 2]
+
+
 def main():
     import jax
 
@@ -156,6 +193,16 @@ def main():
         s["divergence_rate"] = float(
             res["kernel_results"]["divergences"].mean()
         )
+        # Sampler-derived fused log-posterior+grad evals/sec/chip (the
+        # second half of the BASELINE.json north-star metric): every HMC
+        # leapfrog is exactly one fused eval. The stored per-draw leapfrog
+        # counts share warmup's jitter distribution (one shared jittered
+        # length per transition, sampler/run.py), so the sampling-phase
+        # mean extends to the whole (burnin + results) wall.
+        mean_L = float(res["kernel_results"]["num_leapfrogs"].mean())
+        s["fused_evals_per_sec"] = (
+            (NUM_BURNIN + NUM_RESULTS) * mean_L * NUM_CHAINS / wall
+        )
         return s
 
     runs = [timed_run(seed) for seed in range(3)]
@@ -172,6 +219,13 @@ def main():
     true_post = timed_run(3, anneal_mode="warmup_only",
                           hmc_num_leapfrogs=TRUE_POST_LEAPFROGS,
                           dense_shrinkage=0.0)
+
+    # Direct microbench of the same fused eval: N back-to-back vmapped
+    # logp+grad calls at the bench geometry (precond/dense mode, the exact
+    # function the sampler leapfrogs through, at the sampler's pinned
+    # matmul precision), chained through the state so XLA cannot elide
+    # them. Measures the eval kernel itself without HMC bookkeeping.
+    micro_evals_per_sec = _microbench_fused_eval(model, jnp.float32)
 
     baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
     vs_baseline = None
@@ -206,6 +260,20 @@ def main():
                 "rhat_max": round(true_post["rhat_max"], 4),
                 "wall_s": round(true_post["wall_s"], 2),
                 "hmc_leapfrogs": TRUE_POST_LEAPFROGS,
+                "fused_eval_per_sec_per_chip": round(
+                    true_post["fused_evals_per_sec"], 1
+                ),
+            },
+            # second north-star metric (BASELINE.json "ESS/sec; fused
+            # log-posterior+grad evals/sec per chip"): sampler-derived =
+            # leapfrogs x chains / sampling wall (median run);
+            # microbench = chained vmapped evals without HMC bookkeeping
+            "fused_eval_per_sec_per_chip": {
+                "sampler_derived": round(sorted(
+                    r["fused_evals_per_sec"] for r in runs
+                )[1], 1),
+                "microbench": round(micro_evals_per_sec, 1),
+                "microbench_iters_x_chains": [2000, NUM_CHAINS],
             },
             "num_chains": NUM_CHAINS,
             "steps": f"{NUM_BURNIN}+{NUM_RESULTS}",

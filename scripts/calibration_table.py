@@ -1,0 +1,201 @@
+"""Trajectory-calibration table across the five acceptance configs.
+
+The blueprint bar (BASELINE.md) is "theta within 1%; trajectory CI
+overlap" — round 3 certified coverage only for SEIR (VERDICT r3 task 5).
+This script measures, for each config, the 95% credible-interval coverage
+of the TRUE trajectory on the fit grid (pooled draws, per grid point x
+component), plus theta recovery and convergence diagnostics, and writes
+one merged results/calibration_table.json.
+
+Fresh TPU runs (f32 sampling, statistically-sound warmup_only target):
+  seir       SEIR vignette CSV (N_I=161), 256 x 1000+1000 HMC dense metric
+  fn         FitzHugh-Nagumo fully observed (N_I=161), 256 chains
+  sirw       SIRW 4-state / 5-theta (N_I=161), 256 chains
+  lorenz513  Lorenz N_I=513, 256 chains
+
+Cited long runs (too expensive to re-run here; numbers copied verbatim):
+  hes1        results/hes1_long2.json  (H unobserved; H coverage 0.256)
+  lorenz1025  results/lorenz1025_r3j.json (tempered supported recipe)
+
+Usage: python scripts/calibration_table.py [config ...]   (default: all fresh)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "..", "results", "calibration_table.json")
+
+
+def coverage_95(X_samps, X_true):
+    """Per-component and overall fraction of grid points whose true value
+    lies inside the pooled [2.5%, 97.5%] draw interval."""
+    flat = np.asarray(X_samps).reshape(-1, *X_true.shape)
+    lo = np.quantile(flat, 0.025, axis=0)
+    hi = np.quantile(flat, 0.975, axis=0)
+    inside = (X_true >= lo) & (X_true <= hi)
+    return (
+        [round(float(c), 4) for c in inside.mean(axis=0)],
+        round(float(inside.mean()), 4),
+        round(float((hi - lo).mean()), 5),
+    )
+
+
+def run_config(name):
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.magi_jax_cache_axon"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from magi_v2_tpu import MAGI_v2, MagiConfig
+    from magi_v2_tpu.models import (
+        fitzhugh_nagumo_f_vec,
+        lorenz_f_vec,
+        seir_f_vec,
+        sirw_f_vec,
+    )
+    from magi_v2_tpu.utils import summarize_chains
+    from magi_v2_tpu.utils.data import load_seir_csv, simulate_ode
+
+    cfg = MagiConfig().replace(dtype=jnp.float32)
+    pred = dict(num_results=1000, num_burnin_steps=1000, num_chains=256,
+                seed=0, init_jitter=0.01, algorithm="hmc",
+                anneal_mode="warmup_only", mass_matrix="auto")
+
+    if name == "seir":
+        ts_obs, X_obs, raw = load_seir_csv(t_max=4.0, d_obs=20)
+        model = MAGI_v2(D_thetas=3, ts_obs=ts_obs, X_obs=X_obs, bandsize=80,
+                        f_vec=seir_f_vec, config=cfg)
+        model.initial_fit(discretization=1)
+        # truth on the fit grid from the reference CSV's dense truth columns
+        X_true = np.stack(
+            [np.interp(model.I[:, 0], raw["t"], raw["X_true"][:, d])
+             for d in range(3)], axis=1)
+        theta_true = np.array([6.0, 0.6, 1.8])
+        pred.update(hmc_num_leapfrogs=192)
+    elif name == "fn":
+        theta_true = np.array([0.2, 0.2, 3.0])
+        ts_obs, X_obs, _ = simulate_ode(
+            fitzhugh_nagumo_f_vec, x0=np.array([-1.0, 1.0]),
+            thetas=theta_true, t_max=20.0, n_obs=41, noise_sd=0.2,
+            substeps=40)
+        model = MAGI_v2(D_thetas=3, ts_obs=ts_obs, X_obs=X_obs, bandsize=None,
+                        f_vec=fitzhugh_nagumo_f_vec, config=cfg)
+        model.initial_fit(discretization=2)
+        _, _, X_true = simulate_ode(
+            fitzhugh_nagumo_f_vec, x0=np.array([-1.0, 1.0]),
+            thetas=theta_true, t_max=20.0, n_obs=model.mag_I, noise_sd=0.0,
+            substeps=40)
+        pred.update(hmc_num_leapfrogs=128)
+    elif name == "sirw":
+        theta_true = np.array([4.0, 1.0, 0.3, 0.5, 0.2])
+        ts_obs, X_obs, _ = simulate_ode(
+            sirw_f_vec, x0=np.array([0.95, 0.05, 0.0, 0.0]),
+            thetas=theta_true, t_max=8.0, n_obs=81, noise_sd=0.01)
+        model = MAGI_v2(D_thetas=5, ts_obs=ts_obs, X_obs=X_obs, bandsize=200,
+                        f_vec=sirw_f_vec, config=cfg)
+        model.initial_fit(discretization=1)
+        _, _, X_true = simulate_ode(
+            sirw_f_vec, x0=np.array([0.95, 0.05, 0.0, 0.0]),
+            thetas=theta_true, t_max=8.0, n_obs=model.mag_I, noise_sd=0.0)
+        pred.update(hmc_num_leapfrogs=128)
+    elif name == "lorenz513":
+        theta_true = np.array([10.0, 28.0, 8.0 / 3.0])
+        ts_obs, X_obs, _ = simulate_ode(
+            lorenz_f_vec, x0=np.array([-8.0, 7.0, 27.0]),
+            thetas=theta_true, t_max=2.0, n_obs=129, noise_sd=0.5,
+            substeps=50)
+        model = MAGI_v2(D_thetas=3, ts_obs=ts_obs, X_obs=X_obs, bandsize=100,
+                        f_vec=lorenz_f_vec, config=cfg)
+        model.initial_fit(discretization=2)
+        _, _, X_true = simulate_ode(
+            lorenz_f_vec, x0=np.array([-8.0, 7.0, 27.0]),
+            thetas=theta_true, t_max=2.0, n_obs=model.mag_I, noise_sd=0.0,
+            substeps=50)
+        pred.update(hmc_num_leapfrogs=64)
+    else:
+        raise SystemExit(f"unknown config {name!r}")
+
+    grid_t = np.linspace(ts_obs[0], ts_obs[-1], model.mag_I)
+    assert np.allclose(model.I[:, 0], grid_t, atol=1e-9), "non-uniform grid"
+
+    t0 = time.time()
+    res = model.predict(verbose=True, **pred)
+    wall = time.time() - t0
+    D_th = len(theta_true)
+    s = summarize_chains(res["thetas_samps"], wall)
+    theta = np.asarray(res["thetas_samps"]).reshape(-1, D_th).mean(0)
+    per_comp, overall, width = coverage_95(res["X_samps"], X_true)
+    cell = {
+        "N_I": int(model.mag_I),
+        "steps": "256x1000+1000",
+        "target": "true posterior (warmup_only)",
+        "theta_mean": np.round(theta, 4).tolist(),
+        "theta_true": theta_true.tolist(),
+        "theta_rel_err": np.round((theta - theta_true) / theta_true,
+                                  4).tolist(),
+        "traj_coverage_95_per_comp": per_comp,
+        "traj_coverage_95": overall,
+        "mean_ci_width": width,
+        "ess_min": round(s["ess_min"], 1),
+        "rhat_max": round(s["rhat_max"], 4),
+        "divergence_rate": round(
+            float(res["kernel_results"]["divergences"].mean()), 5),
+        "wall_s": round(wall, 1),
+    }
+    print(json.dumps({name: cell}), flush=True)
+    return cell
+
+
+CITED = {
+    "hes1": {
+        "cited_from": "results/hes1_long2.json",
+        "config": ("Hes1 log-scale, H unobserved, 16 x 3000+8000 NUTS, "
+                   "centered, beta=1, sigma fixed"),
+        "traj_coverage_95_unobserved_H": 0.256,
+        "rhat_max": 1.0277,
+        "note": ("H coverage fails the nominal level; theta g/f offsets "
+                 "certified flat-direction artifacts "
+                 "(results/hes1_profile.json)"),
+    },
+    "lorenz1025": {
+        "cited_from": "results/lorenz1025_r3j.json",
+        "config": ("Lorenz N_I=1025, tempered supported recipe "
+                   "(floor 0.15, b=100)"),
+        "traj_coverage_95": 0.1375,
+        "rhat_max": 1.0498,
+        "note": ("theta ~10% low + coverage collapse adjudicated round 4: "
+                 "bandsize-100 operator truncation, not a MAGI-posterior "
+                 "or tempering property "
+                 "(results/lorenz_joint_map_probe.json)"),
+    },
+}
+
+
+def main():
+    names = sys.argv[1:] or ["seir", "fn", "sirw", "lorenz513"]
+    out = {}
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as fh:
+            out = json.load(fh)
+    for name in names:
+        out[name] = run_config(name)
+    out.update(CITED)
+    with open(RESULTS, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -141,7 +141,7 @@ def main():
     grid_I = jnp.asarray(model.I, jnp.float64)
     mu_j = jnp.asarray(mu)
 
-    def run_variant(name, R, S, m, steps=2000, lr=0.02, lbfgs_iters=4000):
+    def run_variant(name, R, S, m, steps=2000, lr=0.02, lbfgs_iters=30000):
         A = jnp.asarray(np.einsum("dij,djk->dik", R, C_half))   # t1 factor
         M = jnp.asarray(np.einsum("dij,djk->dik", m, C_half))   # m xc from w
         Ch = jnp.asarray(C_half)
@@ -199,7 +199,7 @@ def main():
             [np.asarray(params[0]).ravel(), np.asarray(params[1])])
         sol = minimize(fun_np, z0, jac=True, method="L-BFGS-B",
                        options={"maxiter": lbfgs_iters, "maxcor": 50,
-                                "ftol": 1e-14, "gtol": 1e-6})
+                                "ftol": 1e-16, "gtol": 1e-8})
         print(f"  {name} L-BFGS-B: nit={sol.nit} F={sol.fun:.3f} "
               f"|g|={np.linalg.norm(sol.jac):.3f} theta="
               f"{sol.x[-3:].round(4)}", flush=True)
@@ -237,6 +237,10 @@ def main():
 
     Rb, Sb, mb = banded_ops(100)
     run_variant("banded_factored_b100", Rb, Sb, mb)
+    # wider band: if the theta offset is operator truncation, it must
+    # shrink monotonically toward the dense MAP as b grows
+    Rb2, Sb2, mb2 = banded_ops(200)
+    run_variant("banded_factored_b200", Rb2, Sb2, mb2)
     run_variant("dense", R_dense, S_dense, m_ds)
 
     os.makedirs("results", exist_ok=True)
