@@ -309,16 +309,7 @@ class MAGI_v2:
 
         # band truncation (magi_v2.py:271-274) — statistical truncation;
         # storage stays dense here, the Pallas banded path is the fast mode
-        if self.BANDSIZE is not None:
-            self.C_d_invs = np.asarray(
-                band_part(self.C_d_invs, self.BANDSIZE, self.BANDSIZE)
-            )
-            self.K_d_invs = np.asarray(
-                band_part(self.K_d_invs, self.BANDSIZE, self.BANDSIZE)
-            )
-            self.m_ds = np.asarray(
-                band_part(self.m_ds, self.BANDSIZE, self.BANDSIZE)
-            )
+        self._apply_band_truncation(verbose)
 
         # smooth the initial trajectories (magi_v2.py:277)
         with timer.phase("cv_smoother"):
@@ -445,6 +436,56 @@ class MAGI_v2:
             sig_pre_fix=_pre_fix,
         )
         return mode, data, sigma_sqs_LB, sig_fix64, _pre_fix
+
+    def _apply_band_truncation(self, verbose: bool = False):
+        """Band-truncate C^{-1}/K^{-1}/m (magi_v2.py:271-274) and record how
+        much operator mass the truncation drops.
+
+        ``self.band_truncation`` maps each operator family to the max (over
+        components) relative Frobenius norm of the off-band part — the
+        sampled posterior is a DIFFERENT distribution whenever this is not
+        small. Measured on Lorenz (round-4 adjudication,
+        results/lorenz_joint_map_probe.json + BASELINE_MEASURED round4):
+        at N_I=513/b=100 the K^{-1} truncation is 7.8e-3 and recovery is
+        near-exact; at N_I=1025/b=100 it is 0.63 (0.51 even at b=200 — the
+        operator is not practically bandable at that grid density) and the
+        truncated posterior's theta mode sits ~(-16, -7, -11)% off the
+        exact posterior's, which sits at truth. A UserWarning fires above
+        5% so users don't mistake truncation bias for posterior bias."""
+        self.band_truncation = None
+        if self.BANDSIZE is None:
+            return
+        self.band_truncation = {}
+        for name in ("C_d_invs", "K_d_invs", "m_ds"):
+            A = np.asarray(getattr(self, name))
+            Ab = np.asarray(band_part(A, self.BANDSIZE, self.BANDSIZE))
+            num = np.linalg.norm((A - Ab).reshape(A.shape[0], -1), axis=1)
+            den = np.linalg.norm(A.reshape(A.shape[0], -1), axis=1)
+            self.band_truncation[name] = float(
+                (num / np.maximum(den, 1e-300)).max()
+            )
+            setattr(self, name, Ab)
+        worst = max(self.band_truncation.values())
+        if verbose:
+            print(
+                f"band truncation (rel Frobenius mass dropped, max over "
+                f"components): "
+                + ", ".join(f"{k}={v:.2e}"
+                            for k, v in self.band_truncation.items())
+            )
+        if worst > 0.05:
+            import warnings
+
+            warnings.warn(
+                f"bandsize={self.BANDSIZE} drops {worst:.0%} of the "
+                "precision-operator Frobenius mass (band_truncation "
+                f"attribute: {self.band_truncation}); the truncated "
+                "posterior is a materially different distribution — "
+                "measured theta bias ~10% on Lorenz N_I=1025/b=100 while "
+                "the exact posterior's mode is at truth. Widen bandsize, "
+                "coarsen the grid, or treat results as approximate.",
+                stacklevel=3,
+            )
 
     def _dense_tail_size(self, mass_matrix: str, sigma_sqs_fixed) -> int:
         """Map the ``mass_matrix`` mode to SamplerConfig.dense_tail_size.
@@ -847,13 +888,4 @@ class MAGI_v2:
         )
         self.C_d_invs, self.m_ds, self.K_d_invs = C_invs, m_ds, K_invs
 
-        if self.BANDSIZE is not None:
-            self.C_d_invs = np.asarray(
-                band_part(self.C_d_invs, self.BANDSIZE, self.BANDSIZE)
-            )
-            self.K_d_invs = np.asarray(
-                band_part(self.K_d_invs, self.BANDSIZE, self.BANDSIZE)
-            )
-            self.m_ds = np.asarray(
-                band_part(self.m_ds, self.BANDSIZE, self.BANDSIZE)
-            )
+        self._apply_band_truncation()

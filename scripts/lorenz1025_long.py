@@ -75,6 +75,13 @@ def main():
                          "theta_pre (sigma is pinned in the acceptance "
                          "recipe), rotating theta-theta ridges a diagonal "
                          "metric cannot")
+    ap.add_argument("--bandsize", type=int, default=100,
+                    help="precision-operator half-bandwidth. The round-4 "
+                         "joint-MAP adjudication (results/"
+                         "lorenz_joint_map_probe.json) localized the "
+                         "tempered recipe's theta offset to b=100 operator "
+                         "truncation (dense beta=1 MAP is at truth); wider "
+                         "bands should shrink it at O(N*b) cost")
     ap.add_argument("--n-obs", type=int, default=257)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
@@ -114,7 +121,7 @@ def main():
     cfg = MagiConfig().replace(dtype=jnp.float32,
                                anneal_min_temp=args.min_temp)
     model = MAGI_v2(
-        D_thetas=3, ts_obs=ts_obs, X_obs=X_obs, bandsize=100,
+        D_thetas=3, ts_obs=ts_obs, X_obs=X_obs, bandsize=args.bandsize,
         f_vec=lorenz_f_vec, config=cfg,
     )
     t0 = time.time()
@@ -164,7 +171,7 @@ def main():
         "config": (
             f"Lorenz N_I={model.mag_I}, {args.chains} chains, "
             f"{args.burnin}+{args.results}x{args.thin} HMC-L{args.leapfrogs}, "
-            f"banded GN (b=100), refresh={args.refresh} "
+            f"banded GN (b={args.bandsize}), refresh={args.refresh} "
             f"restart={args.restart} scatter={args.scatter}, "
             f"{'untempered' if args.untempered else args.anneal_mode}"
             f"(floor={args.min_temp}), "

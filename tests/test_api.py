@@ -78,6 +78,34 @@ def test_bandsize_truncates_matrices(seir_data):
     i, j = np.triu_indices_from(C, k=6)
     np.testing.assert_allclose(C[i, j], 0.0)
     assert np.any(np.abs(np.triu(C, 1) - np.triu(C, 5)) > 0)
+    # the truncation diagnostic records how much operator mass was dropped
+    assert set(model.band_truncation) == {"C_d_invs", "K_d_invs", "m_ds"}
+    assert all(0.0 <= v < 1.0 for v in model.band_truncation.values())
+
+
+def test_band_truncation_warns_when_severe(seir_data):
+    """A bandsize that drops >5% of the precision-operator Frobenius mass
+    samples a materially different posterior (the round-4 Lorenz-1025
+    adjudication: ~10% theta bias at 63% dropped mass) — users get a
+    UserWarning instead of silently biased results."""
+    import warnings
+
+    ts, X_obs, _ = seir_data
+    model = MAGI_v2(D_thetas=3, ts_obs=ts, X_obs=X_obs, bandsize=1,
+                    f_vec=seir_f_vec, config=TINY)
+    with pytest.warns(UserWarning, match="Frobenius mass"):
+        model.initial_fit(discretization=0)
+    assert max(model.band_truncation.values()) > 0.05
+
+    model2 = MAGI_v2(D_thetas=3, ts_obs=ts, X_obs=X_obs, bandsize=None,
+                     f_vec=seir_f_vec, config=TINY)
+    model2.initial_fit(discretization=0)
+    assert model2.band_truncation is None
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")      # generous band must NOT warn
+        model2.BANDSIZE = model2.mag_I - 1
+        model2._apply_band_truncation()
+    assert max(model2.band_truncation.values()) < 0.05
 
 
 def test_update_kernel_matrices_forecast_path(fitted_model):
