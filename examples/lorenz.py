@@ -2,18 +2,24 @@
 chains (BASELINE.json configs[4]: N_I > 1000, 256 chains).
 
 Grid-density note (measured): at N_I=513 theta recovery is essentially
-exact — (9.97, 27.99, 2.66) vs (10, 28, 8/3) — with healthy step sizes
-(~0.16), so use --n-obs 129 when the coarser resolution suffices. The
-N_I=1025 dense grid has a converged supported recipe —
-scripts/lorenz1025_long.py: banded GN whitening, no refresh, the
-reference anneal schedule pinned at a 0.15 temperature floor, sigma
-pinned — measured rhat 1.0498 / ESS_min 4994 / eps 0.144
-(results/lorenz1025_r3j.json). The beta=1 target at that density is
-eps-collapsed for ANY fixed metric (K^{-1} stiffness grows ~h^-4;
-BASELINE_MEASURED "dense_grid_beta1_obstruction"), and the tempered
-target carries a floor-independent theta bias ~(-8..-11, -1..-3, -11)%
-— a property of the dense-grid MAGI posterior itself. The reference,
-with no preconditioning at all, cannot sample this regime."""
+exact — theta within 0.06% and trajectory coverage 1.0
+(results/calibration_table.json) — with healthy step sizes (~0.16), so
+use --n-obs 129 when the coarser resolution suffices. The N_I=1025 dense
+grid has a converged supported recipe — scripts/lorenz1025_long.py:
+banded GN whitening, no refresh, the reference anneal schedule pinned at
+a 0.15 temperature floor, sigma pinned — measured rhat 1.0498 / ESS_min
+4994 / eps 0.144 (results/lorenz1025_r3j.json). Know what it samples: a
+BAND-TRUNCATED approximation of the posterior. The round-4 adjudication
+(BASELINE_MEASURED round4 "beta1_adjudication") showed the recipe's
+~(-10, -3, -11)% theta offset is the b=100 operator truncation (the
+exact beta=1 MAP is at truth to 0.6%; 63% of K^{-1}'s Frobenius mass is
+off-band at this density and no affordable bandsize fixes it  —
+initial_fit warns via model.band_truncation). Exact-posterior HMC stays
+intractable there (K^{-1} stiffness grows ~h^-4, eps-collapse for any
+fixed metric; BASELINE_MEASURED "dense_grid_beta1_obstruction") — for
+the accurate beta=1 answer use MAGI_v2.map_estimate() (exact operators,
+Laplace CIs, minutes on CPU). The reference, with no preconditioning at
+all, cannot sample this regime."""
 
 import argparse
 import time

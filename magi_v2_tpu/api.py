@@ -821,6 +821,19 @@ class MAGI_v2:
 
     # ------------------------------------------------------------------
 
+    def map_estimate(self, **kwargs):
+        """Joint MAP of the EXACT (untruncated, beta=1) posterior with
+        Laplace credible sds — the accurate dense-grid point estimate
+        where exact-posterior HMC is intractable (the K^{-1} stiffness
+        grows ~h^-4) and the band-truncated sampled posterior is biased
+        (measured ~10% theta offset at Lorenz N_I=1025/b=100 while the
+        exact mode sits at truth; BASELINE_MEASURED round4). Runs on CPU
+        float64; see magi_v2_tpu.map_laplace. No reference counterpart
+        (the reference is sampling-only, magi_v2.py:286-425)."""
+        from magi_v2_tpu.map_laplace import map_estimate
+
+        return map_estimate(self, **kwargs)
+
     def extend_for_forecast(self, t_max_new: float, results: dict = None):
         """Extend the grid to ``t_max_new`` (same spacing) for forecasting.
 

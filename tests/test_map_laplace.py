@@ -1,0 +1,73 @@
+"""MAP + Laplace estimation (magi_v2_tpu/map_laplace.py).
+
+The exact-posterior point-estimate path productized from the round-4
+Lorenz-1025 adjudication (results/lorenz_joint_map_probe.json): the exact
+beta=1 MAGI posterior's mode recovers theta where the band-truncated
+sampled posterior is biased and exact-posterior HMC is eps-collapsed.
+No reference counterpart (the reference is sampling-only,
+magi_v2.py:286-425)."""
+
+import numpy as np
+import pytest
+
+from magi_v2_tpu import MAGI_v2, MagiConfig
+from magi_v2_tpu.models import seir_f_vec
+from magi_v2_tpu.utils.data import simulate_ode
+
+TINY = MagiConfig().replace(hparam_num_iters=100, init_num_iters=200)
+TRUE = np.array([6.0, 0.6, 1.8])
+
+
+@pytest.fixture(scope="module")
+def fitted():
+    ts, X_obs, X_true = simulate_ode(
+        seir_f_vec, x0=np.array([0.1, 0.05, 0.0]), thetas=TRUE,
+        t_max=2.0, n_obs=21, noise_sd=0.005, substeps=20)
+    model = MAGI_v2(D_thetas=3, ts_obs=ts, X_obs=X_obs, bandsize=None,
+                    f_vec=seir_f_vec, config=TINY)
+    model.initial_fit(discretization=0)
+    return model, X_true
+
+
+def test_map_estimate_recovers_theta_fixed_sigma(fitted):
+    model, X_true = fitted
+    r = model.map_estimate(sigma_sqs_fixed=0.005 ** 2)
+    assert r["converged"], r["lbfgs_message"]
+    assert r["grad_norm"] < 1e-3
+    assert r["hessian_spd"]
+    # theta within 2 Laplace sds of truth AND within 5% relative
+    np.testing.assert_array_less(
+        np.abs(r["theta_map"] - TRUE), 2.0 * r["theta_sd"] + 0.05 * TRUE)
+    np.testing.assert_allclose(r["theta_map"], TRUE, rtol=0.05)
+    # trajectory mode tracks the truth
+    assert np.sqrt(((r["X_map"] - X_true) ** 2).mean()) < 0.02
+    assert r["X_sd"].shape == r["X_map"].shape
+    assert np.all(r["X_sd"] > 0)
+    assert not r["band_truncation_bypassed"]
+
+
+def test_map_estimate_free_sigma_hits_bounds_gracefully(fitted):
+    """With sigma free at tiny noise the MAP drives sigma^2 to the LB
+    heuristic — the projected-gradient convergence test must handle the
+    active bounds (the raw L-BFGS-B gradient there is huge and
+    meaningless)."""
+    model, _ = fitted
+    r = model.map_estimate()
+    assert r["converged"] or r["grad_norm"] < 1e-2 * abs(r["neg_logpost"])
+    np.testing.assert_allclose(r["theta_map"], TRUE, rtol=0.08)
+    assert np.all(r["sigma_sqs_map"] > 0)
+
+
+def test_map_estimate_bypasses_band_truncation():
+    """On a banded model the MAP must evaluate the EXACT operators (the
+    truncation is the bias being diagnosed) and say so."""
+    ts, X_obs, _ = simulate_ode(
+        seir_f_vec, x0=np.array([0.1, 0.05, 0.0]), thetas=TRUE,
+        t_max=2.0, n_obs=21, noise_sd=0.005, substeps=20)
+    model = MAGI_v2(D_thetas=3, ts_obs=ts, X_obs=X_obs, bandsize=5,
+                    f_vec=seir_f_vec, config=TINY)
+    model.initial_fit(discretization=0)
+    r = model.map_estimate(sigma_sqs_fixed=0.005 ** 2, laplace=False)
+    assert r["band_truncation_bypassed"]
+    assert "theta_sd" not in r
+    np.testing.assert_allclose(r["theta_map"], TRUE, rtol=0.05)
