@@ -132,7 +132,14 @@ class MAGI_v2:
         UNAVAILABLE) default to 50-step blocks scaled down by the leapfrog
         cost (dim^2 under the dense whitening — a fixed block observed a
         worker crash at dim=3081; dim*band under banded storage); elsewhere
-        single dispatch."""
+        single dispatch.
+
+        The 50-step cap is measured-optimal, not just a safety bound:
+        larger blocks are SLOWER through the tunnel (B=250 2.3x, B=1000
+        1.8x at the bench geometry, results/dispatch_block_probe.json)
+        because per-block device->host staging overlaps the next block's
+        dispatch (run.py finalize_block) and longer dispatches forgo that
+        overlap."""
         if requested is not None:
             return requested
         try:
@@ -216,6 +223,7 @@ class MAGI_v2:
                 learning_rate=cfg.hparam_learning_rate,
                 num_iters=cfg.hparam_num_iters,
                 cholesky_jitter=cfg.cholesky_jitter,
+                optimizer=cfg.hparam_optimizer,
             )
         self.phi1s[self.observed_indicators] = hparams_obs["phi1s"]
         self.phi2s[self.observed_indicators] = hparams_obs["phi2s"]
@@ -289,6 +297,7 @@ class MAGI_v2:
                 learning_rate=cfg.hparam_learning_rate,
                 num_iters=cfg.hparam_num_iters,
                 cholesky_jitter=cfg.cholesky_jitter,
+                optimizer=cfg.hparam_optimizer,
             )
             self.phi1s[self.unobserved_components] = hparams_unobs["phi1s"]
             self.phi2s[self.unobserved_components] = hparams_unobs["phi2s"]

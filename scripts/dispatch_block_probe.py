@@ -60,10 +60,10 @@ def main():
         # each block size is a new scan length -> new executables; prime
         # with a short run so the timed walls are compile-free
         t0 = time.time()
-        model.predict(num_results=min(50, B), num_burnin_steps=min(50, B),
-                      dispatch_block_steps=B, **{**common,
-                                                 "num_results": min(50, B),
-                                                 "num_burnin_steps": min(50, B)})
+        prime_kwargs = {**common, "num_results": min(50, B),
+                        "num_burnin_steps": min(50, B),
+                        "dispatch_block_steps": B}
+        model.predict(**prime_kwargs)
         prime_s = time.time() - t0
         walls, ess = [], None
         for rep in range(2):
