@@ -33,6 +33,12 @@ class MagiConfig:
     # --- hyperparameter MLE (reference magi_v2.py:538-691) ---
     hparam_learning_rate: float = 0.01   # magi_v2.py:654
     hparam_num_iters: int = 1000         # magi_v2.py:654
+    # "adam" (reference parity, magi_v2.py:654) or "lbfgs" (jitted
+    # on-device L-BFGS, ops/lbfgs.py — the BASELINE.json north-star path;
+    # measured: 18 iters to a marginally lower MAP than Adam-1000, 36x
+    # faster execution, ~2 s heavier first-call compile). Both run as
+    # ONE device dispatch.
+    hparam_optimizer: str = "adam"
     # Where to evaluate the GP marginal likelihood: "obs" fits on the raw
     # observations at observation times (statistically sound: recovers the
     # true noise level); "grid" fits on linearly interpolated values over
