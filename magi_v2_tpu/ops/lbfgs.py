@@ -184,8 +184,11 @@ def lbfgs_minimize(
                 z_g_lo = jnp.where(z_shrink_hi, g_lo, g_t)
                 z_t = 0.5 * (z_lo + z_hi)
                 # interval collapsed -> take lo (Armijo-safe) and stop
-                z_done = jnp.abs(z_hi - z_lo) <= 1e-12 * jnp.maximum(
-                    one, jnp.abs(z_lo))
+                # (dtype-aware: a fixed 1e-12 never fires in float32 and
+                # would burn the whole eval budget on collapsed brackets)
+                z_done = jnp.abs(z_hi - z_lo) <= (
+                    10 * jnp.finfo(dtype).eps
+                ) * jnp.maximum(one, jnp.abs(z_lo))
                 z_state = jnp.where(z_done & (z_state == 1),
                                     jnp.where(z_lo > 0, 2, 3), z_state)
 
