@@ -178,6 +178,26 @@ class MAGI_v2:
         )
         return np.asarray(C_invs), np.asarray(m_ds), np.asarray(K_invs)
 
+    def _exact_operators(self):
+        """Untruncated (C^{-1}, m, K^{-1}) at the fitted hyperparameters.
+
+        initial_fit band-truncates the model's operators IN PLACE when a
+        bandsize is set (reference magi_v2.py:271-274); the exact-operator
+        consumers (storage='hybrid' sampling, map_estimate) rebuild them.
+        Cached per (phi1s, phi2s, grid) — a predict() probe sequence
+        (prime + repeated timed runs) rebuilds once, not per call.
+        """
+        key = (
+            self.phi1s.tobytes(), self.phi2s.tobytes(), self.I.tobytes()
+        )
+        cache = getattr(self, "_exact_ops_cache", None)
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        with self._setup_device_ctx():
+            ops = self._build_inverse_matrices(self.phi1s, self.phi2s)
+        self._exact_ops_cache = (key, ops)
+        return ops
+
     def initial_fit(self, discretization: int, verbose: bool = False):
         """Discretize, fit GP hyperparameters, initialize theta (and any
         unobserved trajectories). Reference magi_v2.py:82-277.
@@ -385,28 +405,37 @@ class MAGI_v2:
                 "'jax_enable_x64', True)) or use the TPU fast mode "
                 "(MagiConfig().replace(dtype=jnp.float32))."
             )
+        # Operator source: "hybrid" evaluates the posterior through the
+        # EXACT (untruncated) operators — rebuilt when initial_fit's band
+        # truncation modified them in place — while still whitening with
+        # the banded GN factor (see the storage branch below). The other
+        # modes use the model's (possibly truncated) operators as-is.
+        if storage == "hybrid" and self.BANDSIZE is not None:
+            C_ops, m_ops, K_ops = self._exact_operators()
+        else:
+            C_ops, m_ops, K_ops = self.C_d_invs, self.m_ds, self.K_d_invs
         # Factored precisions R = C^{-1/2}, S = K^{-1/2}, computed in f64:
         # quadratic forms evaluate as ||R x||^2 (float32-safe PSD sums).
         # Eigenvalues below zero (possible after band truncation) clamp to 0.
-        # Both storage modes consume them — banded mode band-truncates the
+        # All storage modes consume them — banded mode band-truncates the
         # factors (to_banded_data), so the setup eigh is never wasted work.
         with self._setup_device_ctx():
             from magi_v2_tpu.ops.linalg import sym_sqrt
 
-            R64 = np.asarray(sym_sqrt(jnp.asarray(self.C_d_invs)))
-            S64 = np.asarray(sym_sqrt(jnp.asarray(self.K_d_invs)))
+            R64 = np.asarray(sym_sqrt(jnp.asarray(C_ops)))
+            S64 = np.asarray(sym_sqrt(jnp.asarray(K_ops)))
         data = make_posterior_data(
             self.I,
-            self.C_d_invs,
-            self.m_ds,
-            self.K_d_invs,
+            C_ops,
+            m_ops,
+            K_ops,
             self.mu_ds,
             self.beta,
             self.obs_index,
             sigma_sqs_LB,
             dtype,
-            C_inv_sqrts=R64 if storage == "dense" else None,
-            K_inv_sqrts=S64 if storage == "dense" else None,
+            C_inv_sqrts=R64 if storage in ("dense", "hybrid") else None,
+            K_inv_sqrts=S64 if storage in ("dense", "hybrid") else None,
         )
         if storage == "banded":
             if self.BANDSIZE is None:
@@ -430,6 +459,18 @@ class MAGI_v2:
                 C_inv_sqrts_f64=R64,
                 K_inv_sqrts_f64=S64,
             )
+        elif storage == "hybrid":
+            if self.BANDSIZE is None:
+                raise ValueError(
+                    "storage='hybrid' requires a bandsize: the banded GN "
+                    "whitening factor is built at the model's bandsize "
+                    "(the posterior itself evaluates untruncated)"
+                )
+            if reparam != "precond":
+                raise ValueError(
+                    "storage='hybrid' is the banded-GN-whitened exact-"
+                    "operator mode; it requires reparam='precond'"
+                )
         elif storage != "dense":
             raise ValueError(f"unknown storage mode {storage!r}")
 

@@ -14,7 +14,13 @@ Modes:
 
 - ``precond`` + ``banded``: banded Gauss-Newton whitening z = U (x - mu)
   with U the banded Cholesky factor of the GN precision; every per-leapfrog
-  operator is O(ND*b). The large-grid mode.
+  operator is O(ND*b). The large-grid mode. NOTE: the TARGET evaluates
+  through band-truncated operators — a materially different posterior
+  when the truncation drops real operator mass (api band_truncation).
+- ``precond`` + ``hybrid``: the banded GN whitening around the EXACT
+  dense-operator posterior — truncation applies to the preconditioner
+  only, never the target. The accuracy-preserving large-grid mode where
+  dense matvecs are still affordable (N_I up to ~2-4k).
 - ``precond`` + ``dense``: full-state GN whitening via a dense (ND, ND)
   eigh factor. Fastest up to N_I ~ 1k.
 - ``whitened``: GP-prior whitening only (z = C^{-1/2} (x - mu)).
@@ -88,10 +94,19 @@ class SamplingMode:
     rebuild: Optional[Callable] = None
 
 
-def _build_banded_gn_parts(model, data, dtype, R64, S64, anchor_X, anchor_th):
+def _build_banded_gn_parts(model, data, dtype, R64, S64, anchor_X, anchor_th,
+                           exact: bool = False):
     """(logp_grad, parts) with the GN factor, relative-energy zero point,
     and whitening all anchored at (X, theta) — the anchor can be refreshed
-    mid-warmup (precond_refresh_steps)."""
+    mid-warmup (precond_refresh_steps).
+
+    ``exact=False`` (storage='banded'): the target evaluates through the
+    band-truncated factored operators; the relative-energy zero point is
+    built from the SAME band-truncated factors.
+    ``exact=True`` (storage='hybrid'): the target evaluates through the
+    FULL dense operators (``data`` is the exact dense PosteriorData, R64/
+    S64 are the untruncated factors); only the GN whitening factor — a
+    preconditioner, not part of the target — is banded."""
     from magi_v2_tpu.ops.banded import (
         banded_diag_tile_inverses,
         banded_to_blocks_upper,
@@ -100,13 +115,16 @@ def _build_banded_gn_parts(model, data, dtype, R64, S64, anchor_X, anchor_th):
     from magi_v2_tpu.sampler.precond import (
         build_gn_cholesky_banded,
         make_tempered_logp_grad_gn_banded,
+        make_tempered_logp_grad_gn_hybrid,
         whiten_X_banded,
     )
 
     with model._setup_device_ctx():
         # R64/S64 make Lambda the exact PSD GN curvature of the banded
         # target (raw band-truncated operators are indefinite at
-        # dense-grid sizes — see precond.py)
+        # dense-grid sizes — see precond.py); under exact=True they are
+        # the untruncated factors and the build band-truncates them
+        # internally (preconditioner quality only)
         U_band, gn_info = build_gn_cholesky_banded(
             model, C_inv_sqrts=R64, K_inv_sqrts=S64,
             at_X=anchor_X, at_thetas=anchor_th,
@@ -121,17 +139,28 @@ def _build_banded_gn_parts(model, data, dtype, R64, S64, anchor_X, anchor_th):
             )
         )
         # relative-energy zero point (f32 safety at dense-grid |lp| ~1e7 —
-        # see posterior.RefPoint); built from the SAME band-truncated
-        # operators the target evaluates
-        _i, _j = np.meshgrid(
-            np.arange(model.mag_I), np.arange(model.mag_I), indexing="ij"
-        )
-        _bmask = np.abs(_i - _j) <= model.BANDSIZE
+        # see posterior.RefPoint); built from the SAME operators the
+        # target evaluates: band-truncated for 'banded', FULL for 'hybrid'
+        # (masking there would re-introduce the truncation error the
+        # hybrid exists to remove)
+        if exact:
+            m_ref = (
+                model._exact_operators()[1]
+                if model.BANDSIZE is not None else model.m_ds
+            )
+            R_ref, S_ref = R64, S64
+        else:
+            _i, _j = np.meshgrid(
+                np.arange(model.mag_I), np.arange(model.mag_I),
+                indexing="ij",
+            )
+            _bmask = np.abs(_i - _j) <= model.BANDSIZE
+            R_ref = np.where(_bmask[None], R64, 0.0)
+            S_ref = np.where(_bmask[None], S64, 0.0)
+            m_ref = model.m_ds
         ref = make_ref_point(
             model.I, anchor_X, model.mu_ds, anchor_th, model.f_vec,
-            np.where(_bmask[None], R64, 0.0),
-            np.where(_bmask[None], S64, 0.0),
-            model.m_ds, dtype,
+            R_ref, S_ref, m_ref, dtype,
         )
         # z0 = U (x_anchor - mu) in f64: the sampler works with the
         # whitened deviation z - z0
@@ -145,7 +174,11 @@ def _build_banded_gn_parts(model, data, dtype, R64, S64, anchor_X, anchor_th):
     U_blocks = jnp.asarray(U_blocks64, dtype)
     U_dinv = jnp.asarray(U_dinv64, dtype)
     z0 = jnp.asarray(z064.reshape(-1), dtype)
-    lp = make_tempered_logp_grad_gn_banded(
+    maker = (
+        make_tempered_logp_grad_gn_hybrid if exact
+        else make_tempered_logp_grad_gn_banded
+    )
+    lp = maker(
         data, model.f_vec, U_blocks, model.mag_I, model.D,
         model.D_thetas, diag_inv=U_dinv, ref=ref, z0=z0,
     )
@@ -182,11 +215,13 @@ def build_sampling_mode(
             )
         return mode
 
-    if reparam == "precond" and storage == "banded":
+    if reparam == "precond" and storage in ("banded", "hybrid"):
         from magi_v2_tpu.sampler.precond import unwhiten_Z_banded
 
+        exact = storage == "hybrid"
         logp_grad, gn = _build_banded_gn_parts(
-            model, data, dtype, R64, S64, model.Xhat_init, model.thetas_init
+            model, data, dtype, R64, S64, model.Xhat_init,
+            model.thetas_init, exact=exact,
         )
         nb, nw, T = (
             gn["U_blocks"].shape[0],
@@ -196,7 +231,8 @@ def build_sampling_mode(
 
         def rebuild(anchor_X, anchor_th):
             lp, parts = _build_banded_gn_parts(
-                model, data, dtype, R64, S64, anchor_X, anchor_th
+                model, data, dtype, R64, S64, anchor_X, anchor_th,
+                exact=exact,
             )
             return finish(replace(
                 mode,

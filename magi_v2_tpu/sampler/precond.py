@@ -433,6 +433,81 @@ def make_tempered_logp_grad_gn_banded(
     return logp_grad
 
 
+def make_tempered_logp_grad_gn_hybrid(
+    data, f_vec, U_blocks, N_I: int, D: int, D_thetas: int, diag_inv=None,
+    ref=None, z0=None,
+):
+    """Banded-GN whitened coordinates against the EXACT dense posterior —
+    the hybrid large-grid mode (storage='hybrid').
+
+    Coordinates are the banded mode's: z = U (x - mu) with U the banded
+    GN Cholesky factor, unwhitened per leapfrog by the exact O(ND*b)
+    block-banded back substitution. Energies are the dense mode's: t1/t2
+    and the m-matvec go through the FULL factored operators
+    (``data.C_inv_sqrts``/``K_inv_sqrts``, D batched N^2 MXU matvecs per
+    eval) — NO band truncation of the posterior at all.
+
+    Why this mode exists (round-4 adjudication, BASELINE_MEASURED round4
+    "beta1_adjudication"): at Lorenz N_I=1025/bandsize=100 the banded
+    TARGET drops 63% of K^{-1}'s Frobenius mass and its theta mode sits
+    ~(-16,-7,-11)% off the exact posterior's, which sits at truth. The
+    truncation is a TARGET error; the truncated GN factor is only a
+    PRECONDITIONER, whose band error costs step size, not correctness.
+    Splitting the two lets the sampler keep the only whitening that is
+    stable at dense-grid sizes while sampling the right distribution.
+    Dense matvecs are affordable here: block-banded only overtakes dense
+    above N_I ~ 2-4k (BASELINE_MEASURED "block_banded_vs_dense_matvec").
+
+    ``data`` must be the DENSE PosteriorData with C_inv_sqrts present.
+    ``ref``/``z0`` (built from the SAME exact operators) are required at
+    dense-grid scale for f32 (see make_tempered_logp_grad_gn_banded).
+    """
+    from magi_v2_tpu.ops.banded import block_banded_triangular_solve_upper
+    from magi_v2_tpu.posterior import log_posterior_given_t1
+    from magi_v2_tpu.sampler.magi_state import unflatten_state
+
+    if data.C_inv_sqrts is None:
+        raise ValueError(
+            "hybrid mode needs the dense factored operators; build the "
+            "data with C_inv_sqrts/K_inv_sqrts"
+        )
+    if (ref is None) != (z0 is None):
+        raise ValueError("ref and z0 must be supplied together")
+
+    def lp(q, beta_temp):
+        Z, sigma_pre, theta_pre = unflatten_state(q, N_I, D, D_thetas)
+        if ref is None:
+            xc_flat = block_banded_triangular_solve_upper(
+                U_blocks, Z.reshape(-1), diag_inv=diag_inv
+            )
+            Xc = xc_flat.reshape(N_I, D)
+            X = Xc + data.mu_ds[None, :]
+            Rx = jnp.einsum("dnm,dm->dn", data.C_inv_sqrts, Xc.T)
+            t1 = jnp.sum(Rx ** 2)
+            return log_posterior_given_t1(
+                data, f_vec, X, sigma_pre, theta_pre, beta_temp, t1
+            )
+        # delta = U^{-1}(z - z0): solve on the SMALL whitened deviation
+        # (see the banded builder for why x - x0 in f32 is not an option)
+        delta = block_banded_triangular_solve_upper(
+            U_blocks, Z.reshape(-1) - z0, diag_inv=diag_inv
+        ).reshape(N_I, D)
+        X = ref.x0 + delta
+        Rd = jnp.einsum("dnm,dm->dn", data.C_inv_sqrts, delta.T)
+        t1 = jnp.sum(Rd * (Rd + 2.0 * ref.a0))
+        return log_posterior_given_t1(
+            data, f_vec, X, sigma_pre, theta_pre, beta_temp, t1,
+            ref=ref, delta=delta,
+        )
+
+    vag = jax.value_and_grad(lp, argnums=0)
+
+    def logp_grad(q, beta_temp):
+        return vag(q, beta_temp)
+
+    return logp_grad
+
+
 def make_tempered_logp_grad_gn(
     data, f_vec, L, A1, N_I: int, D: int, D_thetas: int, ref=None, z0=None
 ):
