@@ -532,8 +532,10 @@ class MAGI_v2:
                 f"attribute: {self.band_truncation}); the truncated "
                 "posterior is a materially different distribution — "
                 "measured theta bias ~10% on Lorenz N_I=1025/b=100 while "
-                "the exact posterior's mode is at truth. Widen bandsize, "
-                "coarsen the grid, or treat results as approximate.",
+                "the exact posterior's mode is at truth. Use "
+                "predict(storage='hybrid') (exact operators, banded GN "
+                "whitening), widen bandsize, coarsen the grid, or treat "
+                "results as approximate.",
                 stacklevel=3,
             )
 

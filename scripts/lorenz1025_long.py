@@ -92,6 +92,13 @@ def main():
                          "tempered recipe's theta offset to b=100 operator "
                          "truncation (dense beta=1 MAP is at truth); wider "
                          "bands should shrink it at O(N*b) cost")
+    ap.add_argument("--storage", default="banded",
+                    choices=["banded", "hybrid"],
+                    help="'hybrid' keeps the banded GN whitening but "
+                         "evaluates the posterior through the EXACT dense "
+                         "operators (no target truncation) — the round-4 "
+                         "mode that removes the b=100 truncation bias at "
+                         "O(D*N_I^2) per-leapfrog cost")
     ap.add_argument("--n-obs", type=int, default=257)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
@@ -148,7 +155,7 @@ def main():
         verbose=True,
         seed=args.seed,
         init_jitter=0.05,
-        storage="banded",
+        storage=args.storage,
         reparam="precond",
         algorithm="hmc",
         hmc_num_leapfrogs=args.leapfrogs,
@@ -181,7 +188,7 @@ def main():
         "config": (
             f"Lorenz N_I={model.mag_I}, {args.chains} chains, "
             f"{args.burnin}+{args.results}x{args.thin} HMC-L{args.leapfrogs}, "
-            f"banded GN (b={args.bandsize}), refresh={args.refresh} "
+            f"{args.storage} GN (b={args.bandsize}), refresh={args.refresh} "
             f"restart={args.restart} scatter={args.scatter}, "
             f"{'untempered' if args.untempered else args.anneal_mode}"
             f"(floor={args.min_temp}), "
