@@ -622,9 +622,14 @@ class MAGI_v2:
         Returns the reference's results dict; with num_chains > 1 the
         ``*_samps`` arrays gain a chain axis at position 1.
 
-        storage: "dense" (batched MXU matvecs — fastest up to N_I ~ 2k) or
-        "banded" (O(N_I * bandsize) Pallas banded operators — the
-        memory/scaling mode for dense grids; requires bandsize).
+        storage: "dense" (batched MXU matvecs — fastest up to N_I ~ 2k),
+        "banded" (O(N_I * bandsize) block-banded operators — the
+        memory/scaling mode for dense grids; requires bandsize; the
+        sampled target is the BAND-TRUNCATED posterior, materially biased
+        when ``band_truncation`` is large), or "hybrid" (banded
+        Gauss-Newton whitening around the EXACT dense operators — the
+        accurate dense-grid mode; requires bandsize and
+        reparam='precond'; O(D * N_I^2) per leapfrog).
 
         reparam: sampler coordinate system (the posterior over X is
         IDENTICAL in all three — linear maps, constant Jacobian):
