@@ -34,9 +34,13 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--algorithm", default="hmc", choices=["hmc", "nuts"])
-    ap.add_argument("--storage", default="dense", choices=["dense", "banded"],
+    ap.add_argument("--storage", default="dense",
+                    choices=["dense", "banded", "hybrid"],
                     help="banded = O(N_I*b) block-banded operators + banded "
-                         "Gauss-Newton whitening (the large-grid mode)")
+                         "Gauss-Newton whitening (the max-scale mode; the "
+                         "TARGET is band-truncated); hybrid = banded GN "
+                         "whitening around the EXACT dense operators (the "
+                         "accurate dense-grid mode)")
     ap.add_argument("--leapfrogs", type=int, default=64)
     ap.add_argument("--steps", type=int, default=0,
                     help="override warmup/sampling steps (default 100 quick/500)")
