@@ -612,6 +612,7 @@ class MAGI_v2:
         precond_refresh_restart: str = "remap",
         precond_refresh_scatter: float = 0.1,
         checkpoint_path: str = "",
+        profile_timings: bool = False,
     ):
         """Sample the posterior with annealed NUTS. Reference
         magi_v2.py:286-425; extensions: num_chains (vmapped chains),
@@ -784,6 +785,7 @@ class MAGI_v2:
             ),
             dense_shrinkage=dense_shrinkage,
             checkpoint_path=checkpoint_path,
+            profile_timings=profile_timings,
         )
 
         if precond_refresh_steps:
@@ -816,20 +818,25 @@ class MAGI_v2:
         )
         samples = jax.block_until_ready(samples)
         minutes = np.round((time.time() - start) / 60, 2)
+        sampler_s = time.time() - start
         if verbose:
             print(f"Finished sampling in {minutes} minutes.")
 
+        t_post0 = time.time()
         X_samps, sigma_pre_samps, theta_pre_samps = unflatten_samples(
             samples, self.mag_I, self.D, self.D_thetas
         )
         X_samps = unwhiten_draws(mode, X_samps, data.mu_ds, num_chains, dtype)
+        unwhiten_s = time.time() - t_post0
         squeeze = num_chains == 1
 
         def maybe_squeeze(a):
             a = np.asarray(a)
             return a[:, 0] if squeeze else a
 
+        t_fetch0 = time.time()
         X_samps = maybe_squeeze(X_samps)
+        fetch_s = time.time() - t_fetch0
         def np_softplus(x):
             # overflow-safe: softplus(x) = x + log1p(exp(-x)) for large x
             return np.where(x > 30.0, x, np.log1p(np.exp(np.minimum(x, 30.0))))
@@ -846,7 +853,18 @@ class MAGI_v2:
             )
         thetas_samps = np_softplus(maybe_squeeze(theta_pre_samps))
 
+        out_timings = None
+        if profile_timings:
+            out_timings = dict(stats.timings or {})
+            out_timings.update(
+                sampler_total_s=sampler_s,
+                unwhiten_s=unwhiten_s,
+                x_fetch_s=fetch_s,
+                post_total_s=time.time() - t_post0,
+            )
+
         return {
+            "timings": out_timings,
             "phi1s": self.phi1s,
             "phi2s": self.phi2s,
             "Xhat_init": self.Xhat_init,

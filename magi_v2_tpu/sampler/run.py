@@ -23,6 +23,7 @@ LogAnnealedNUTS wrapper. Key differences, all TPU-motivated:
 from __future__ import annotations
 
 import os
+import time
 from typing import Callable, NamedTuple
 
 import jax
@@ -127,6 +128,11 @@ class SamplerConfig(NamedTuple):
     # by re-calling with the same arguments. A config fingerprint guards
     # against resuming a checkpoint from a different run.
     checkpoint_path: str = ""
+    # Record wall-clock phase timings (eps search, warmup, sampling
+    # dispatch/staging/drain) in ChainStats.timings. Adds one device sync
+    # at the warmup/sampling boundary (stalls the host thread, not the
+    # device queue) — keep off in production, on for perf attribution.
+    profile_timings: bool = False
 
 
 _CKPT_VERSION = "v2"
@@ -136,9 +142,9 @@ def _ckpt_fingerprint(config: "SamplerConfig", C: int, dim: int,
                       key, q0) -> str:
     """Identity of a run for resume safety.
 
-    Covers EVERY SamplerConfig field except the two pure-I/O knobs
-    (progress_every, checkpoint_path — neither touches the step or PRNG
-    sequence), plus the chain/state shape, the PRNG key, and a digest of
+    Covers EVERY SamplerConfig field except the pure-I/O knobs
+    (progress_every, checkpoint_path, profile_timings — none touches the
+    step or PRNG sequence), plus the chain/state shape, the PRNG key, and a digest of
     the initial chain states. The round-3 fingerprint listed fields by
     hand and omitted dense_shrinkage / matmul_precision / hmc_jitter /
     target_accept / adaptation_fraction / mass_window_* / max_tree_depth /
@@ -149,7 +155,8 @@ def _ckpt_fingerprint(config: "SamplerConfig", C: int, dim: int,
     """
     import hashlib
 
-    ident = config._replace(progress_every=0, checkpoint_path="")
+    ident = config._replace(progress_every=0, checkpoint_path="",
+                            profile_timings=False)
     q0_digest = hashlib.blake2b(
         np.ascontiguousarray(np.asarray(q0)).tobytes(), digest_size=8
     ).hexdigest()
@@ -370,6 +377,11 @@ class ChainStats(NamedTuple):
     divergences: jax.Array        # (num_results, C) bool
     depths: jax.Array             # (num_results, C)
     tail_inv_mass: jax.Array | None = None  # (k, k) dense tail block
+    # host wall-clock phase decomposition (profile_timings=True only):
+    # eps_init_s, warmup_s, sample_dispatch_s, sample_first_dispatch_s
+    # (includes trace+compile of the block executable), sample_stage_s,
+    # staged_bytes, sample_drain_s, sample_total_s
+    timings: dict | None = None
 
 
 def run_nuts_chains(
@@ -627,6 +639,8 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
     fingerprint = _ckpt_fingerprint(config, C, dim, key, q0) if ck else ""
     resume = _ckpt_load_state(ck, fingerprint) if ck else None
     restore = _ckpt_restore_carry
+    prof = config.profile_timings
+    timings: dict | None = {} if prof else None
 
     # --- warmup: blocks of steps, state carried across dispatches
     inv_mass0 = identity_mass(dim, config.dense_tail_size, dtype)
@@ -648,12 +662,17 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
             )
             warmup_done = resume[1]
         else:
+            t0 = time.time()
             key, key_eps = jax.random.split(key)
             eps_init = jax.jit(find_reasonable_step_size)(
                 q0[0], key_eps, inv_mass0, temp_at(jnp.asarray(0))
             )
+            if prof:
+                jax.block_until_ready(eps_init)
+                timings["eps_init_s"] = time.time() - t0
             wcarry = (q0, key, _da_init(eps_init, dtype), welford0, inv_mass0)
             warmup_done = 0
+        t_warm0 = time.time()
         for start, size in blocks(config.num_burnin_steps):
             if start + size <= warmup_done:
                 continue
@@ -663,6 +682,9 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
                                  wcarry, fingerprint)
         qs, key, da, _, inv_mass = wcarry
         scarry = (qs, key, jnp.exp(da.log_step_avg), inv_mass)
+        if prof:
+            jax.block_until_ready(qs)
+            timings["warmup_s"] = time.time() - t_warm0
         sample_done = 0
         if ck:
             _ckpt_save_state(ck, "sample", 0, scarry, fingerprint)
@@ -678,6 +700,8 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
     # checkpoint-loaded blocks concatenate through one code path.
     stage_host = config.dispatch_block_steps > 0 or bool(ck)
     sample_chunks, info_chunks = [], []
+    pa = {"dispatch_s": 0.0, "first_dispatch_s": None,
+          "stage_s": 0.0, "staged_bytes": 0}
 
     def finalize_block(start, size, s_blk, i_blk, carry_after):
         """Fetch/persist one completed block. Called AFTER the next block's
@@ -688,8 +712,13 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
         persisted _next, not the loop's current carry."""
         i_blk = i_blk._asdict()
         if stage_host:
+            t0 = time.time()
             s_blk = np.asarray(s_blk)
             i_blk = {k: np.asarray(v) for k, v in i_blk.items()}
+            pa["stage_s"] += time.time() - t0
+            pa["staged_bytes"] += s_blk.nbytes + sum(
+                v.nbytes for v in i_blk.values()
+            )
         if ck:
             _ckpt_save_draws(ck, start, s_blk, i_blk)
             _ckpt_save_state(ck, "sample", start + size, carry_after,
@@ -698,6 +727,7 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
         info_chunks.append(i_blk)
 
     pending = None
+    t_sample0 = time.time()
     for start, size in blocks(config.num_results, config.thin):
         if ck and start + size <= sample_done:
             loaded = _ckpt_load_draws(ck, start)
@@ -714,7 +744,12 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
                 f"but draws_{start:06d}.npz is missing; delete state.npz "
                 "to restart"
             )
+        t0 = time.time()
         scarry, (s_blk, i_blk) = sample_blk(scarry, start + jnp.arange(size))
+        dt = time.time() - t0
+        pa["dispatch_s"] += dt
+        if pa["first_dispatch_s"] is None:
+            pa["first_dispatch_s"] = dt
         if pending is not None:
             finalize_block(*pending)
         pending = (start, size, s_blk, i_blk, scarry)
@@ -729,6 +764,17 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
             lambda *xs: cat(xs, axis=0), *info_chunks
         )
 
+    if prof:
+        t0 = time.time()
+        jax.block_until_ready(jax.tree.leaves(scarry))
+        jax.block_until_ready(samples)
+        timings["sample_drain_s"] = time.time() - t0
+        timings["sample_total_s"] = time.time() - t_sample0
+        timings["sample_dispatch_s"] = pa["dispatch_s"]
+        timings["sample_first_dispatch_s"] = pa["first_dispatch_s"]
+        timings["sample_stage_s"] = pa["stage_s"]
+        timings["staged_bytes"] = pa["staged_bytes"]
+
     _, _, eps_final, inv_mass = scarry
     stats = ChainStats(
         step_size=eps_final,
@@ -738,5 +784,6 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
         divergences=infos["diverging"],
         depths=infos["depth"],
         tail_inv_mass=mass_tail_inv(inv_mass),
+        timings=timings,
     )
     return samples, stats

@@ -62,6 +62,22 @@ def test_predict_results_dict_keys_match_reference(fitted_model):
     assert np.all(np.isfinite(res["X_samps"]))
 
 
+def test_predict_profile_timings(fitted_model):
+    res = fitted_model.predict(num_results=10, num_burnin_steps=10, seed=0,
+                               profile_timings=True)
+    t = res["timings"]
+    for key in ["eps_init_s", "warmup_s", "sample_total_s",
+                "sample_dispatch_s", "sample_stage_s", "staged_bytes",
+                "sampler_total_s", "unwhiten_s", "x_fetch_s"]:
+        assert key in t, key
+    assert t["warmup_s"] >= 0 and t["sample_total_s"] >= 0
+    # off by default, and not part of the run identity
+    res2 = fitted_model.predict(num_results=10, num_burnin_steps=10, seed=0)
+    assert res2["timings"] is None
+    np.testing.assert_array_equal(res2["thetas_samps"],
+                                  res["thetas_samps"])
+
+
 def test_predict_multichain_shapes(fitted_model):
     res = fitted_model.predict(num_results=10, num_burnin_steps=10,
                                num_chains=4, seed=0, init_jitter=0.01)
