@@ -5,21 +5,23 @@ Grid-density note (measured): at N_I=513 theta recovery is essentially
 exact — theta within 0.06% and trajectory coverage 1.0
 (results/calibration_table.json) — with healthy step sizes (~0.16), so
 use --n-obs 129 when the coarser resolution suffices. The N_I=1025 dense
-grid has a converged supported recipe — scripts/lorenz1025_long.py:
-banded GN whitening, no refresh, the reference anneal schedule pinned at
-a 0.15 temperature floor, sigma pinned — measured rhat 1.0498 / ESS_min
-4994 / eps 0.144 (results/lorenz1025_r3j.json). Know what it samples: a
-BAND-TRUNCATED approximation of the posterior. The round-4 adjudication
-(BASELINE_MEASURED round4 "beta1_adjudication") showed the recipe's
-~(-10, -3, -11)% theta offset is the b=100 operator truncation (the
-exact beta=1 MAP is at truth to 0.6%; 63% of K^{-1}'s Frobenius mass is
-off-band at this density and no affordable bandsize fixes it  —
-initial_fit warns via model.band_truncation). Exact-posterior HMC stays
-intractable there (K^{-1} stiffness grows ~h^-4, eps-collapse for any
-fixed metric; BASELINE_MEASURED "dense_grid_beta1_obstruction") — for
-the accurate beta=1 answer use MAGI_v2.map_estimate() (exact operators,
-Laplace CIs, minutes on CPU). The reference, with no preconditioning at
-all, cannot sample this regime."""
+grid's ACCURATE supported recipe is --storage hybrid (banded GN
+whitening around the EXACT dense operators), no refresh, the reference
+anneal schedule pinned at a 0.15 temperature floor, sigma pinned —
+converged at theta (-1.35, +0.01, +0.09)%, coverage 1.0, rhat 1.0364,
+ESS_min 3620 (results/lorenz1025_hybrid_r4c.json; 128 chains x
+6000+4000 thin 2, L=64). The plain banded mode samples a BAND-TRUNCATED
+approximation: the round-4 adjudication (BASELINE_MEASURED round4
+"beta1_adjudication") showed its ~(-10, -3, -11)% theta offset is the
+b=100 operator truncation (the exact beta=1 MAP is at truth to 0.6%;
+63% of K^{-1}'s Frobenius mass is off-band at this density and no
+affordable bandsize fixes it — initial_fit warns via
+model.band_truncation). Exact-posterior beta=1 HMC stays intractable
+there (K^{-1} stiffness grows ~h^-4, eps-collapse for any fixed metric;
+BASELINE_MEASURED "dense_grid_beta1_obstruction") — for the beta=1
+point answer use MAGI_v2.map_estimate() (exact operators, Laplace CIs,
+minutes on CPU). The reference, with no preconditioning at all, cannot
+sample this regime."""
 
 import argparse
 import time
