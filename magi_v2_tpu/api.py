@@ -613,6 +613,7 @@ class MAGI_v2:
         precond_refresh_scatter: float = 0.1,
         checkpoint_path: str = "",
         profile_timings: bool = False,
+        stage_above_bytes: Optional[int] = None,
     ):
         """Sample the posterior with annealed NUTS. Reference
         magi_v2.py:286-425; extensions: num_chains (vmapped chains),
@@ -621,7 +622,16 @@ class MAGI_v2:
         magi package's useFixedSigma; scalar or (D,) array of variances).
 
         Returns the reference's results dict; with num_chains > 1 the
-        ``*_samps`` arrays gain a chain axis at position 1.
+        ``*_samps`` arrays gain a chain axis at position 1. On tunneled
+        TPU runtimes (axon) ``X_samps`` / ``sample_results`` may be
+        device-resident ``jax.Array``s — numpy converts them transparently
+        on first use (``np.asarray`` to force); pulling them eagerly
+        through the tunnel measured ~29 MB/s and dominated wall time.
+        ``thetas_samps`` / ``sigma_sqs_samps`` are always eager numpy.
+        ``stage_above_bytes`` (default 1 GiB, see SamplerConfig) is the
+        draw-size budget above which blocks spill to host staging; pass 0
+        to force the old always-stage behavior. Pure I/O — draw values
+        are bit-identical either way.
 
         storage: "dense" (batched MXU matvecs — fastest up to N_I ~ 2k),
         "banded" (O(N_I * bandsize) block-banded operators — the
@@ -786,6 +796,11 @@ class MAGI_v2:
             dense_shrinkage=dense_shrinkage,
             checkpoint_path=checkpoint_path,
             profile_timings=profile_timings,
+            **(
+                {}
+                if stage_above_bytes is None
+                else {"stage_above_bytes": stage_above_bytes}
+            ),
         )
 
         if precond_refresh_steps:
@@ -827,6 +842,11 @@ class MAGI_v2:
             samples, self.mag_I, self.D, self.D_thetas
         )
         X_samps = unwhiten_draws(mode, X_samps, data.mu_ds, num_chains, dtype)
+        if profile_timings and isinstance(X_samps, jax.Array):
+            # device-resident fast path dispatches async — block so the
+            # probe attributes the device work here (production leaves it
+            # async; the draws materialize on first use)
+            jax.block_until_ready(X_samps)
         unwhiten_s = time.time() - t_post0
         squeeze = num_chains == 1
 
@@ -834,8 +854,20 @@ class MAGI_v2:
             a = np.asarray(a)
             return a[:, 0] if squeeze else a
 
+        # Tunneled runtimes (axon): when the draws stayed device-resident
+        # (run.py stage_above_bytes fast path), do NOT synchronously pull
+        # the full trajectory array through the tunnel (~29 MB/s measured;
+        # 17 s at the bench geometry) — return it as a jax.Array that
+        # fetches lazily on first numpy use. theta/sigma draws (small) are
+        # always eager numpy. Local backends fetch eagerly as before.
+        from magi_v2_tpu.sampler.run import _callbacks_supported
+
+        lazy_X = isinstance(X_samps, jax.Array) and not _callbacks_supported()
         t_fetch0 = time.time()
-        X_samps = maybe_squeeze(X_samps)
+        if lazy_X:
+            X_samps = X_samps[:, 0] if squeeze else X_samps
+        else:
+            X_samps = maybe_squeeze(X_samps)
         fetch_s = time.time() - t_fetch0
         def np_softplus(x):
             # overflow-safe: softplus(x) = x + log1p(exp(-x)) for large x
@@ -887,9 +919,12 @@ class MAGI_v2:
                 "depths": np.asarray(stats.depths),
             },
             # raw flat draws (reference parity, magi_v2.py:421); omitted
-            # above 1 GB — X/sigma/theta samples already carry everything
+            # above 1 GB — X/sigma/theta samples already carry everything;
+            # stays device-resident (lazy) alongside X_samps on tunneled
+            # runtimes
             "sample_results": (
-                np.asarray(samples) if samples.nbytes <= 1 << 30 else None
+                (samples if lazy_X else np.asarray(samples))
+                if samples.nbytes <= 1 << 30 else None
             ),
             "minutes_elapsed": minutes,
         }

@@ -564,7 +564,18 @@ def unwhiten_draws(mode: SamplingMode, X_samps, mu_ds, num_chains, dtype):
     in post-processing."""
     if mode.unwhiten is None:
         return X_samps
-    on_host = not _callbacks_supported()    # tunneled runtime: stay on host
+    # Tunneled runtime + draws already on host (large runs spill to host
+    # staging): stay on host — shipping them back through the tunnel buys
+    # nothing. Tunneled runtime + DEVICE-RESIDENT draws (the fast path,
+    # run.py stage_above_bytes): stay on device — the matvecs are ~free on
+    # the MXU and nothing crosses the tunnel (host unwhitening of 1000x256
+    # bench draws cost 14.8 s, results/predict_phase_probe.json).
+    device_resident = isinstance(X_samps, jax.Array)
+    if device_resident and X_samps.nbytes > (1 << 30):
+        # full array + matvec intermediates co-resident is the measured
+        # OOM mode at Lorenz size — spill to the host-staged chunk path
+        device_resident = False
+    on_host = not _callbacks_supported() and not device_resident
     stack = contextlib.ExitStack()
     if on_host:
         stack.enter_context(jax.default_device(jax.devices("cpu")[0]))
@@ -596,6 +607,23 @@ def unwhiten_draws(mode: SamplingMode, X_samps, mu_ds, num_chains, dtype):
                 f"budget ({num_chains} chains x {mode.draw_bytes} B); "
                 "reduce num_chains or bandsize"
             )
+        if device_resident:
+            # fast path: draws fit on device (budget-gated above and in
+            # run.py stage_above_bytes) — dispatch whole chunks as ONE
+            # batched matvec so the MXU sees a large batch (the per-draw
+            # lax.map used on the host/staged path left the device idle:
+            # 24.0 s vs batched at the bench geometry,
+            # results/predict_phase_probe_devres.json). Chunks are bounded
+            # by dispatch flops (above) AND intermediate memory
+            # (num_chains * draw_bytes per draw, ~2 GB budget).
+            mem_chunk = int(2e9) // max(1, num_chains * mode.draw_bytes)
+            dchunk = max(1, min(chunk, mem_chunk))
+            f_batch = jax.jit(lambda Z, m, F: mode.unwhiten(Z, m, F))
+            outs = [
+                f_batch(X_samps[i : i + dchunk], mu, factor)
+                for i in range(0, X_samps.shape[0], dchunk)
+            ]
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0)
         # stage the z draws on host: keeping the full (T, C, ND) array on
         # device alongside the matvec intermediates is what blew the
         # memory budget

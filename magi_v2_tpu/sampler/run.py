@@ -133,6 +133,16 @@ class SamplerConfig(NamedTuple):
     # at the warmup/sampling boundary (stalls the host thread, not the
     # device queue) — keep off in production, on for perf attribution.
     profile_timings: bool = False
+    # Under dispatch blocking, draws were previously ALWAYS staged to host
+    # per block. Through the axon tunnel that transfer runs ~29 MB/s and
+    # dominated the bench wall (17.3 s of a 52 s predict at 504 MB —
+    # results/predict_phase_probe.json), so draws now accumulate ON DEVICE
+    # when their total size fits under this budget (bytes), and only
+    # spill to host staging above it (or whenever checkpointing, which
+    # needs host files). 1 GiB default: the tunnel drop that motivated
+    # host staging was observed at ~3 GB in flight. Pure-I/O knob — the
+    # draw VALUES are bit-identical either way.
+    stage_above_bytes: int = 1 << 30
 
 
 _CKPT_VERSION = "v2"
@@ -143,8 +153,9 @@ def _ckpt_fingerprint(config: "SamplerConfig", C: int, dim: int,
     """Identity of a run for resume safety.
 
     Covers EVERY SamplerConfig field except the pure-I/O knobs
-    (progress_every, checkpoint_path, profile_timings — none touches the
-    step or PRNG sequence), plus the chain/state shape, the PRNG key, and a digest of
+    (progress_every, checkpoint_path, profile_timings, stage_above_bytes
+    — none touches the step or PRNG sequence), plus the chain/state
+    shape, the PRNG key, and a digest of
     the initial chain states. The round-3 fingerprint listed fields by
     hand and omitted dense_shrinkage / matmul_precision / hmc_jitter /
     target_accept / adaptation_fraction / mass_window_* / max_tree_depth /
@@ -156,7 +167,8 @@ def _ckpt_fingerprint(config: "SamplerConfig", C: int, dim: int,
     import hashlib
 
     ident = config._replace(progress_every=0, checkpoint_path="",
-                            profile_timings=False)
+                            profile_timings=False,
+                            stage_above_bytes=SamplerConfig().stage_above_bytes)
     q0_digest = hashlib.blake2b(
         np.ascontiguousarray(np.asarray(q0)).tobytes(), digest_size=8
     ).hexdigest()
@@ -689,16 +701,23 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
         if ck:
             _ckpt_save_state(ck, "sample", 0, scarry, fingerprint)
 
-    # --- sampling: blocks of draws, samples streamed out per block.
-    # Under dispatch blocking (tunneled runtimes) each block is staged to
-    # HOST as it completes: accumulating every draw on device and fetching
-    # them in one multi-GB device->host copy at the end dropped the axon
-    # tunnel (UNAVAILABLE after 8 consecutive failed round-trips, ~3 GB,
-    # Lorenz N_I=1025 x 256 chains x 1000 draws) and lost the finished
-    # run. Per-block fetches are ~tens of MB and also bound device memory.
+    # --- sampling: blocks of draws. Draws accumulate ON DEVICE when the
+    # run fits under stage_above_bytes (the fast path: through the axon
+    # tunnel the per-block host transfer runs ~29 MB/s and dominated the
+    # bench wall); above the budget — or whenever checkpointing, which
+    # needs host files — each block is staged to HOST as it completes:
+    # accumulating every draw on device and fetching them in one multi-GB
+    # device->host copy at the end dropped the axon tunnel (UNAVAILABLE
+    # after 8 consecutive failed round-trips, ~3 GB, Lorenz N_I=1025 x
+    # 256 chains x 1000 draws) and lost the finished run. Per-block
+    # fetches are ~tens of MB and also bound device memory.
     # Infos are normalized to plain dicts so live blocks and
     # checkpoint-loaded blocks concatenate through one code path.
-    stage_host = config.dispatch_block_steps > 0 or bool(ck)
+    draws_nbytes = config.num_results * C * dim * q0.dtype.itemsize
+    stage_host = bool(ck) or (
+        config.dispatch_block_steps > 0
+        and draws_nbytes > config.stage_above_bytes
+    )
     sample_chunks, info_chunks = [], []
     pa = {"dispatch_s": 0.0, "first_dispatch_s": None,
           "stage_s": 0.0, "staged_bytes": 0}

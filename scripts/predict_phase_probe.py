@@ -76,11 +76,16 @@ def main():
     out["rtt_s"] = median(rtts)
 
     nbytes = 32 << 20
-    big = jax.block_until_ready(jnp.zeros((nbytes // 4,), jnp.float32))
+    big = jax.block_until_ready(
+        jax.random.normal(jax.random.PRNGKey(0), (nbytes // 4,), jnp.float32)
+    )
     d2h = []
-    for _ in range(5):
+    for i in range(5):
+        # fresh array each repeat: np.asarray caches the host copy on the
+        # jax Array, so re-fetching the same array is free
+        y = jax.block_until_ready(big + np.float32(i))
         t0 = time.time()
-        np.asarray(big)
+        np.asarray(y)
         d2h.append(time.time() - t0)
     out["d2h_MBps"] = nbytes / (1 << 20) / median(d2h)
 

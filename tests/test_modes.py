@@ -103,6 +103,29 @@ def test_unwhiten_draws_roundtrip(small_seir_model):
         )
 
 
+def test_unwhiten_draws_device_and_host_paths_agree(small_seir_model):
+    """The device-resident fast path (draws kept on device, run.py
+    stage_above_bytes) and the host-staged chunk path must produce the
+    same trajectories, and the device path must not pull the result to
+    host."""
+    import jax
+
+    from magi_v2_tpu.sampler.modes import unwhiten_draws
+
+    m = small_seir_model
+    dtype = jnp.float64
+    data, R64, S64 = _make_data(m, dtype, banded=False)
+    mode = build_sampling_mode(m, data, "precond", "dense", dtype, R64, S64)
+    rng = np.random.default_rng(0)
+    Z_np = rng.normal(size=(3, 2, m.mag_I, m.D))
+    X_dev = unwhiten_draws(mode, jnp.asarray(Z_np, dtype), data.mu_ds, 2,
+                           dtype)
+    X_host = unwhiten_draws(mode, np.asarray(Z_np), data.mu_ds, 2, dtype)
+    assert isinstance(X_dev, jax.Array)
+    assert isinstance(X_host, np.ndarray)
+    np.testing.assert_allclose(np.asarray(X_dev), X_host, rtol=1e-9)
+
+
 def test_sigma_pinning_survives_gn_rebuild(small_seir_model):
     """REGRESSION (round-2 advisor, severity medium): rebuilding the banded
     GN mode at a new anchor (precond_refresh_steps) must re-apply the

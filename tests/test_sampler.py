@@ -144,10 +144,17 @@ def test_dispatch_blocking_bit_identical():
                          use_annealing=False, max_tree_depth=4)
     cfg2 = cfg1._replace(dispatch_block_steps=7)
     s1, st1 = run_nuts_chains(lp, q0, key, cfg1)
-    s2, st2 = run_nuts_chains(lp, q0, key, cfg2)
+    s2, st2 = run_nuts_chains(lp, q0, key, cfg2)   # device accumulation
+    # host staging (stage_above_bytes=0 forces the spill path)
+    s3, st3 = run_nuts_chains(lp, q0, key,
+                              cfg2._replace(stage_above_bytes=0))
+    assert isinstance(s3, np.ndarray)              # staged draws are host
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s3))
     np.testing.assert_array_equal(np.asarray(st1.depths), np.asarray(st2.depths))
+    np.testing.assert_array_equal(np.asarray(st1.depths), np.asarray(st3.depths))
     np.testing.assert_allclose(float(st1.step_size), float(st2.step_size))
+    np.testing.assert_allclose(float(st1.step_size), float(st3.step_size))
 
 
 def test_hmc_standard_normal_moments():
