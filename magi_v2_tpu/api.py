@@ -614,6 +614,7 @@ class MAGI_v2:
         checkpoint_path: str = "",
         profile_timings: bool = False,
         stage_above_bytes: Optional[int] = None,
+        init_states: Optional[dict] = None,
     ):
         """Sample the posterior with annealed NUTS. Reference
         magi_v2.py:286-425; extensions: num_chains (vmapped chains),
@@ -663,6 +664,18 @@ class MAGI_v2:
         (0..1) pulls the dense block's estimated correlations toward the
         diagonal — a robustness lever for tempered warmup's covariance
         misestimation at long trajectories (SamplerConfig.dense_shrinkage).
+
+        init_states: optional dict of NATURAL-coordinate per-chain
+        initial states — keys "X" ((num_chains, N_I, D) or (N_I, D)),
+        "thetas", "sigma_sqs" (per-chain or broadcast); missing keys keep
+        the heuristic init. Values are mapped through the mode's own f64
+        whitening / inverse-softplus transforms (sampler/modes.py
+        apply_init_states). The standard route to overdispersed or
+        Laplace-scattered starts (draws from map_estimate()'s Laplace
+        approximation — the measured fix for slow unobserved-component
+        mixing under reparam='centered', Hes1 H). Overridden blocks are
+        NOT re-jittered by init_jitter; the checkpoint fingerprint hashes
+        the resulting state, so changed inits never silently resume.
 
         checkpoint_path: directory for mid-run crash recovery ("" = off).
         Every dispatch block's sampler state + draws are persisted
@@ -761,6 +774,12 @@ class MAGI_v2:
             rng = np.random.default_rng(seed + 1)
             q0[1:, : self.mag_I * self.D] += init_jitter * rng.standard_normal(
                 (num_chains - 1, self.mag_I * self.D)
+            )
+        if init_states is not None:
+            from magi_v2_tpu.sampler.modes import apply_init_states
+
+            q0 = apply_init_states(
+                q0, init_states, mode, self, sigma_sqs_LB, sigma_sqs_fixed,
             )
 
         sampler_config = SamplerConfig(

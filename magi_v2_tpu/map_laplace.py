@@ -86,6 +86,10 @@ def map_estimate(
     lbfgs_maxiter: int = 20000,
     laplace: bool = True,
     verbose: bool = False,
+    laplace_draws: int = 0,
+    draws_seed: int = 0,
+    draws_scale: float = 1.0,
+    draws_rel_floor: float = 1e-9,
 ):
     """Joint MAP of the EXACT (untruncated, beta_temp=1) MAGI posterior
     over (X, theta[, sigma^2]), with optional Laplace credible sds.
@@ -93,6 +97,17 @@ def map_estimate(
     sigma_sqs_fixed: scalar or (D,) known observation-noise variances; when
     None, sigma^2 is optimized jointly (bounded below by the predict()
     sigma_sqs_LB heuristic).
+
+    laplace_draws: number of JOINT draws from the Laplace approximation
+    N(z_map, draws_scale^2 * H^{-1}) to return as natural-coordinate
+    ``X_draws`` (n, N_I, D) / ``theta_draws`` (n, D_thetas) — correctly
+    dispersed chain starts for predict(init_states=...) (the measured fix
+    for slow unobserved-component mixing, Hes1 H). Near-flat Hessian
+    directions (eigenvalue < draws_rel_floor * max) have their draw
+    variance CAPPED at 1/(draws_rel_floor * w_max) — the Laplace sd is
+    meaningless along measured flat directions (Hes1 f/g profiles flat
+    over decades) and uncapped draws would eject chains from the basin.
+    theta draws are clipped at the positivity bound.
 
     Returns a dict: theta_map, sigma_sqs_map, X_map (N_I, D), neg_logpost,
     grad_norm, lbfgs_iters, converged, band_truncation_bypassed, and (with
@@ -105,12 +120,14 @@ def map_estimate(
     with model._setup_device_ctx():
         return _map_estimate_impl(
             model, sigma_sqs_fixed, adam_steps, adam_lr, lbfgs_maxiter,
-            laplace, verbose,
+            laplace or laplace_draws, verbose, laplace_draws, draws_seed,
+            draws_scale, draws_rel_floor,
         )
 
 
 def _map_estimate_impl(model, sigma_sqs_fixed, adam_steps, adam_lr,
-                       lbfgs_maxiter, laplace, verbose):
+                       lbfgs_maxiter, laplace, verbose, laplace_draws=0,
+                       draws_seed=0, draws_scale=1.0, draws_rel_floor=1e-9):
     import jax
     import jax.numpy as jnp
     import optax
@@ -320,5 +337,20 @@ def _map_estimate_impl(model, sigma_sqs_fixed, adam_steps, adam_lr,
         out["X_sd"] = np.sqrt(np.maximum(X_var, 0.0))
         out["hessian_spd"] = spd
         out["hessian_min_eig_rel"] = float(w_eig.min() / w_eig.max())
+
+        if laplace_draws:
+            # joint draws z = z_map + scale * V diag(w_draw^{-1/2}) eps:
+            # cov = scale^2 V w_draw^{-1} V' — H^{-1} with near-flat
+            # directions' variance capped (see the docstring)
+            rng = np.random.default_rng(draws_seed)
+            w_draw = np.maximum(w_eig, w_eig.max() * draws_rel_floor)
+            half = V / np.sqrt(w_draw)[None, :]
+            eps = rng.standard_normal((laplace_draws, z_map.shape[0]))
+            zs = z_map[None, :] + draws_scale * (eps @ half.T)
+            W = zs[:, : N * D].reshape(laplace_draws, N, D)
+            out["X_draws"] = (
+                np.einsum("dnm,cmd->cnd", C_half, W) + mu[None, None, :]
+            )
+            out["theta_draws"] = np.maximum(zs[:, N * D :], 1e-8)
 
     return out

@@ -81,6 +81,11 @@ class SamplingMode:
       None.
     - ``rebuild(anchor_X, anchor_th)`` — re-anchor the linearization
       (banded GN only; None elsewhere).
+    - ``whiten64(X) -> z`` — map ONE natural-coordinate trajectory
+      (N_I, D numpy, any float dtype) into this mode's X-block
+      coordinates, computed in float64 exactly like ``X0`` was (identity
+      for centered). Used by predict(init_states=...) to accept
+      user-supplied per-chain initial trajectories.
     """
 
     reparam: str
@@ -92,6 +97,7 @@ class SamplingMode:
     draw_bytes: int = 0
     gn: Optional[dict] = None
     rebuild: Optional[Callable] = None
+    whiten64: Optional[Callable] = None
 
 
 def _build_banded_gn_parts(model, data, dtype, R64, S64, anchor_X, anchor_th,
@@ -182,9 +188,18 @@ def _build_banded_gn_parts(model, data, dtype, R64, S64, anchor_X, anchor_th,
         data, model.f_vec, U_blocks, model.mag_I, model.D,
         model.D_thetas, diag_inv=U_dinv, ref=ref, z0=z0,
     )
+    def whiten64(Xn, _U=U_blocks64):
+        with model._setup_device_ctx():
+            return np.asarray(whiten_X_banded(
+                jnp.asarray(np.asarray(Xn, np.float64)),
+                jnp.asarray(model.mu_ds),
+                jnp.asarray(_U),
+            ))
+
     return lp, {
         "U_blocks": U_blocks, "U_dinv": U_dinv,
         "ref": ref, "z0": z0, "z064": z064, "info": gn_info,
+        "whiten64": whiten64,
     }
 
 
@@ -240,6 +255,7 @@ def build_sampling_mode(
                 X0=jnp.asarray(parts["z064"], dtype),
                 factor=(parts["U_blocks"], parts["U_dinv"]),
                 gn=parts,
+                whiten64=parts["whiten64"],
             ))
 
         mode = SamplingMode(
@@ -256,6 +272,7 @@ def build_sampling_mode(
             draw_bytes=(nb * nw * T + 2 * ND) * itemsize,
             gn=gn,
             rebuild=rebuild,
+            whiten64=gn["whiten64"],
         )
         return finish(mode)
 
@@ -311,6 +328,14 @@ def build_sampling_mode(
             data, model.f_vec, L, A1, model.mag_I, model.D,
             model.D_thetas, ref=ref, z0=z0,
         )
+        def whiten64_full(Xn, _Li=np.asarray(L_inv64)):
+            with model._setup_device_ctx():
+                return np.asarray(whiten_X_full(
+                    jnp.asarray(np.asarray(Xn, np.float64)),
+                    jnp.asarray(np.asarray(model.mu_ds, np.float64)),
+                    jnp.asarray(_Li),
+                ))
+
         return finish(SamplingMode(
             reparam=reparam,
             storage=storage,
@@ -319,6 +344,7 @@ def build_sampling_mode(
             unwhiten=lambda Z, mu, F: unwhiten_Z_full(Z, mu, F),
             factor=L,
             draw_bytes=3 * ND * itemsize,
+            whiten64=whiten64_full,
         ))
 
     if reparam == "whitened":
@@ -336,9 +362,18 @@ def build_sampling_mode(
         logp_grad = make_tempered_logp_grad_whitened(
             data, model.f_vec, L, model.mag_I, model.D, model.D_thetas
         )
-        X0 = whiten_X(
-            jnp.asarray(model.Xhat_init, dtype), data.mu_ds, L_inv
-        )
+        def whiten64_gp(Xn, _Li=np.asarray(L_inv64)):
+            with model._setup_device_ctx():
+                return np.asarray(whiten_X(
+                    jnp.asarray(np.asarray(Xn, np.float64)),
+                    jnp.asarray(np.asarray(model.mu_ds, np.float64)),
+                    jnp.asarray(_Li),
+                ))
+
+        # f64 whitening then cast, like the GN modes (an f32 whiten here
+        # measured ~1e-4 coordinate noise vs the f64 map)
+        X0 = jnp.asarray(whiten64_gp(model.Xhat_init), dtype)
+
         return finish(SamplingMode(
             reparam=reparam,
             storage=storage,
@@ -347,6 +382,7 @@ def build_sampling_mode(
             unwhiten=lambda Z, mu, F: unwhiten_Z(Z, mu, F),
             factor=L,
             draw_bytes=3 * ND * itemsize,
+            whiten64=whiten64_gp,
         ))
 
     if reparam == "centered":
@@ -360,9 +396,106 @@ def build_sampling_mode(
             storage=storage,
             logp_grad=logp_grad,
             X0=jnp.asarray(model.Xhat_init, dtype),
+            whiten64=lambda Xn: np.asarray(Xn, np.float64),
         ))
 
     raise ValueError(f"unknown reparam mode {reparam!r}")
+
+
+def apply_init_states(q0, init_states, mode, model, sigma_sqs_LB,
+                      sigma_sqs_fixed):
+    """Overwrite per-chain initial-state blocks of ``q0`` from
+    NATURAL-coordinate user values (predict(init_states=...)).
+
+    ``init_states`` keys (each optional; a missing key keeps the default
+    heuristic init for that block):
+
+    - ``"X"``: trajectories, shape (num_chains, N_I, D) or (N_I, D)
+      (broadcast to all chains). Mapped into the mode's sampling
+      coordinates through the SAME float64 whitening that built
+      ``mode.X0``.
+    - ``"thetas"``: (num_chains, D_thetas) or (D_thetas,), natural scale
+      (>= 0 enforced by the same inverse-softplus floor as the default
+      init).
+    - ``"sigma_sqs"``: (num_chains, D) or (D,) observation-noise
+      VARIANCES; rejected when ``sigma_sqs_fixed`` pins sigma.
+
+    Standard use: overdispersed or Laplace-scattered chain starts —
+    e.g. draws from ``MAGI_v2.map_estimate()``'s Laplace approximation,
+    the measured fix for slow unobserved-component mixing under
+    ``reparam='centered'`` (Hes1 H, BASELINE_MEASURED round4). The
+    checkpoint fingerprint hashes q0, so changed inits never silently
+    resume an old run. No reference counterpart (the reference is
+    single-chain from one heuristic init, magi_v2.py:374-383).
+
+    Returns ``q0`` (modified in place; (num_chains, N_I*D + D + D_thetas)
+    numpy in the sampling dtype).
+    """
+    from magi_v2_tpu.posterior import softplus_inverse
+
+    unknown = set(init_states) - {"X", "thetas", "sigma_sqs"}
+    if unknown:
+        raise ValueError(
+            f"init_states has unknown keys {sorted(unknown)}; expected a "
+            "subset of {'X', 'thetas', 'sigma_sqs'}"
+        )
+    num_chains = q0.shape[0]
+    N, D, Dth = model.mag_I, model.D, model.D_thetas
+
+    def per_chain(name, arr, shape):
+        arr = np.asarray(arr, np.float64)
+        if arr.shape == shape:
+            arr = np.broadcast_to(arr, (num_chains,) + shape)
+        if arr.shape != (num_chains,) + shape:
+            raise ValueError(
+                f"init_states[{name!r}] has shape {arr.shape}; expected "
+                f"{(num_chains,) + shape} or {shape}"
+            )
+        if np.any(np.isnan(arr)):
+            raise ValueError(f"init_states[{name!r}] contains NaNs")
+        return arr
+
+    # inverse-softplus where above the bound, else the default -5.0 floor
+    # (same map as predict()'s heuristic init, magi_v2.py:374-383)
+    def pre(vals, lower):
+        out = np.full_like(vals, -5.0)
+        above = vals > lower
+        if above.any():
+            out[above] = np.asarray(
+                softplus_inverse(jnp.asarray(vals[above] - lower[above]))
+            )
+        return out
+
+    if "X" in init_states:
+        if mode.whiten64 is None:
+            raise ValueError(
+                f"init_states['X'] is not supported for reparam="
+                f"{mode.reparam!r} (no whitening map)"
+            )
+        Xi = per_chain("X", init_states["X"], (N, D))
+        Z = np.stack([
+            np.asarray(mode.whiten64(Xi[c]), np.float64)
+            for c in range(num_chains)
+        ])
+        q0[:, : N * D] = Z.reshape(num_chains, N * D)
+    if "sigma_sqs" in init_states:
+        if sigma_sqs_fixed is not None:
+            raise ValueError(
+                "init_states['sigma_sqs'] conflicts with sigma_sqs_fixed "
+                "(sigma coordinates are pinned)"
+            )
+        ss = per_chain("sigma_sqs", init_states["sigma_sqs"], (D,))
+        lb = np.broadcast_to(np.asarray(sigma_sqs_LB, np.float64), (D,))
+        q0[:, N * D : N * D + D] = np.stack(
+            [pre(ss[c], lb) for c in range(num_chains)]
+        )
+    if "thetas" in init_states:
+        th = per_chain("thetas", init_states["thetas"], (Dth,))
+        zero = np.zeros((Dth,), np.float64)
+        q0[:, N * D + D :] = np.stack(
+            [pre(th[c], zero) for c in range(num_chains)]
+        )
+    return q0
 
 
 def refresh_gn_anchor(

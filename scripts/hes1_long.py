@@ -34,6 +34,19 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--init", default="heuristic",
+                    choices=["heuristic", "laplace"],
+                    help="'laplace' starts every chain from a JOINT draw "
+                         "of the Laplace approximation at the truth-basin "
+                         "MAP (map_estimate(laplace_draws=chains) -> "
+                         "predict(init_states=...)) — correctly dispersed "
+                         "starts for the slowly-mixing unobserved-H block "
+                         "(the sampled 0.256 H coverage is measured "
+                         "underdispersion, BASELINE_MEASURED round4 "
+                         "'hes1_H_calibration')")
+    ap.add_argument("--init-scale", type=float, default=1.0,
+                    help="Laplace draw scale (draws_scale); <1 shrinks the "
+                         "scatter toward the MAP")
     ap.add_argument("--checkpoint", default="",
                     help="sampler checkpoint dir (crash recovery)")
     ap.add_argument("--out", default="results/hes1_long.json")
@@ -85,12 +98,30 @@ def main():
           flush=True)
     model.beta = 1.0  # original-MAGI weighting (see examples/hes1.py)
 
+    init_states, map_wall_s = None, 0.0
+    if args.init == "laplace":
+        t0 = time.time()
+        r_map = model.map_estimate(
+            sigma_sqs_fixed=0.15 ** 2, laplace_draws=args.chains,
+            draws_seed=args.seed + 101, draws_scale=args.init_scale,
+            verbose=True,
+        )
+        map_wall_s = time.time() - t0
+        print(f"[laplace-init] MAP wall {map_wall_s:.1f}s, converged="
+              f"{r_map['converged']}, theta_map/truth="
+              f"{np.round(r_map['theta_map'] / true, 3)}, draw-g range "
+              f"[{r_map['theta_draws'][:, 5].min():.2f}, "
+              f"{r_map['theta_draws'][:, 5].max():.2f}]", flush=True)
+        init_states = {"X": r_map["X_draws"],
+                       "thetas": r_map["theta_draws"]}
+
     t0 = time.time()
     res = model.predict(
         num_results=args.results, num_burnin_steps=args.burnin,
         num_chains=args.chains, init_jitter=0.02, verbose=True,
         seed=args.seed, reparam="centered", use_annealing=False,
         sigma_sqs_fixed=0.15 ** 2, checkpoint_path=args.checkpoint,
+        init_states=init_states,
     )
     wall = time.time() - t0
 
@@ -220,8 +251,10 @@ def main():
         "config": (
             f"Hes1 log-scale, H unobserved, {args.chains} chains x "
             f"{args.burnin}+{args.results} NUTS, centered, beta=1, "
-            f"sigma fixed 0.15^2, "
-            f"{'f64' if args.f64 else 'f32'} "
+            f"sigma fixed 0.15^2, init={args.init}"
+            + (f"(scale={args.init_scale})" if args.init == "laplace"
+               else "")
+            + f", {'f64' if args.f64 else 'f32'} "
             f"{'cpu' if args.cpu else 'device-default'}"
         ),
         "theta_mean": [round(float(v), 4) for v in mean],
@@ -250,6 +283,7 @@ def main():
         },
         "sampling_wall_s": round(wall, 1),
         "setup_s": round(setup_s, 1),
+        "map_wall_s": round(map_wall_s, 1),
         "device": str(jax.devices()[0].device_kind
                       if hasattr(jax.devices()[0], "device_kind")
                       else jax.devices()[0]),

@@ -71,3 +71,37 @@ def test_map_estimate_bypasses_band_truncation():
     assert r["band_truncation_bypassed"]
     assert "theta_sd" not in r
     np.testing.assert_allclose(r["theta_map"], TRUE, rtol=0.05)
+
+
+def test_laplace_draws_disperse_around_map(fitted):
+    """laplace_draws must return natural-coordinate joint draws centered
+    on the MAP with per-coordinate spread consistent with the Laplace
+    sds (the flat-direction cap only WIDENS nothing and narrows the
+    near-null directions) — the input contract of
+    predict(init_states=...)."""
+    model, _ = fitted
+    n = 64
+    r = model.map_estimate(sigma_sqs_fixed=0.005 ** 2, laplace_draws=n,
+                           draws_seed=1)
+    assert r["X_draws"].shape == (n, model.mag_I, model.D)
+    assert r["theta_draws"].shape == (n, model.D_thetas)
+    assert np.all(np.isfinite(r["X_draws"]))
+    assert np.all(r["theta_draws"] >= 1e-8)
+    # centered on the MAP: the draw mean is within ~4 MC standard errors
+    th_mean = r["theta_draws"].mean(axis=0)
+    th_se = r["theta_draws"].std(axis=0) / np.sqrt(n)
+    np.testing.assert_array_less(
+        np.abs(th_mean - r["theta_map"]), 4.0 * th_se + 1e-9)
+    # marginal theta spread matches the Laplace sd within MC slack
+    # (chi-like factor ~ +-40% at n=64)
+    sd_ratio = r["theta_draws"].std(axis=0) / r["theta_sd"]
+    assert np.all(sd_ratio < 1.5), sd_ratio
+    # X draws disperse around X_map on the X_sd scale
+    x_spread = r["X_draws"].std(axis=0)
+    assert np.median(x_spread / np.maximum(r["X_sd"], 1e-12)) < 1.5
+    # draws_scale shrinks the scatter proportionally
+    r2 = model.map_estimate(sigma_sqs_fixed=0.005 ** 2, laplace_draws=n,
+                            draws_seed=1, draws_scale=0.1)
+    np.testing.assert_allclose(
+        r2["theta_draws"].std(axis=0),
+        0.1 * r["theta_draws"].std(axis=0), rtol=0.2)
