@@ -16,6 +16,8 @@ from magi_v2_tpu.models.odes import (
     hes1_f_vec,
     hes1_log_f_vec,
     lorenz_f_vec,
+    lotka_volterra_f_vec,
+    protein_transduction_f_vec,
     seir_f_vec,
     sirw_f_vec,
 )
@@ -29,4 +31,6 @@ __all__ = [
     "hes1_f_vec",
     "hes1_log_f_vec",
     "lorenz_f_vec",
+    "lotka_volterra_f_vec",
+    "protein_transduction_f_vec",
 ]

@@ -110,6 +110,53 @@ def hes1_log_f_vec(t, X, thetas):
     )
 
 
+def lotka_volterra_f_vec(t, X, thetas):
+    """Lotka-Volterra predator-prey (classic ODE-inference benchmark, used
+    across the gradient-matching literature the MAGI paper compares to).
+
+    X = (u, v) prey/predator, thetas = (a, b, c, d):
+        du/dt = a*u - b*u*v
+        dv/dt = c*u*v - d*v
+    """
+    u, v = X[:, 0:1], X[:, 1:2]
+    a, b, c, d = thetas[0], thetas[1], thetas[2], thetas[3]
+    return jnp.concatenate(
+        [a * u - b * u * v, c * u * v - d * v], axis=1
+    )
+
+
+def protein_transduction_f_vec(t, X, thetas):
+    """Protein signalling transduction pathway (Vyshemirsky & Girolami
+    2008), the hard benchmark of the ODE gradient-matching literature
+    (used by the MAGI paper's comparison baselines; stiff decay + a
+    Michaelis-Menten nonlinearity). Identifiability note: when R_pp stays
+    well below Km the MM term ~ (V/Km)*R_pp, so only the ratio V/Km is
+    strongly identified — short runs recover k1..k4 but wander the (V, Km)
+    ridge (observed in the end-to-end drive; the literature reports the
+    same flat direction for this benchmark).
+
+    X = (S, S_d, R, S_R, R_pp), thetas = (k1, k2, k3, k4, V, Km):
+        dS/dt    = -k1*S - k2*S*R + k3*S_R
+        dS_d/dt  =  k1*S
+        dR/dt    = -k2*S*R + k3*S_R + V*R_pp / (Km + R_pp)
+        dS_R/dt  =  k2*S*R - k3*S_R - k4*S_R
+        dR_pp/dt =  k4*S_R - V*R_pp / (Km + R_pp)
+    """
+    S, S_d, R, S_R, R_pp = (X[:, i:i + 1] for i in range(5))
+    k1, k2, k3, k4, V, Km = (thetas[i] for i in range(6))
+    mm = V * R_pp / (Km + R_pp)
+    return jnp.concatenate(
+        [
+            -k1 * S - k2 * S * R + k3 * S_R,
+            k1 * S,
+            -k2 * S * R + k3 * S_R + mm,
+            k2 * S * R - (k3 + k4) * S_R,
+            k4 * S_R - mm,
+        ],
+        axis=1,
+    )
+
+
 def lorenz_f_vec(t, X, thetas):
     """Lorenz chaotic system (BASELINE.json configs[4], dense-grid config).
 
@@ -176,6 +223,23 @@ MODEL_REGISTRY = {
         D_thetas=7,
         theta_names=("a", "b", "c", "d", "e", "f", "g"),
         true_thetas=(0.022, 0.3, 0.031, 0.028, 0.5, 20.0, 0.3),
+    ),
+    "lotka_volterra": OdeModel(
+        name="lotka_volterra",
+        f_vec=lotka_volterra_f_vec,
+        D=2,
+        D_thetas=4,
+        theta_names=("a", "b", "c", "d"),
+        true_thetas=(1.5, 1.0, 1.0, 3.0),
+    ),
+    "protein_transduction": OdeModel(
+        name="protein_transduction",
+        f_vec=protein_transduction_f_vec,
+        D=5,
+        D_thetas=6,
+        theta_names=("k1", "k2", "k3", "k4", "V", "Km"),
+        # Vyshemirsky & Girolami (2008) model-1 generating values
+        true_thetas=(0.07, 0.6, 0.05, 0.3, 0.017, 0.3),
     ),
     "lorenz": OdeModel(
         name="lorenz",

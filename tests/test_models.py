@@ -82,3 +82,43 @@ def test_rk4_simulator_matches_lorenz_known_behavior():
     )
     assert np.all(np.abs(X_true) < 60)
     assert X_true[:, 0].min() < -1 and X_true[:, 0].max() > 1
+
+
+def test_lotka_volterra_equilibrium_and_cycle():
+    """f vanishes at the coexistence equilibrium (d/c, a/b); the RK4 orbit
+    from elsewhere stays positive and oscillates (closed LV cycles)."""
+    from magi_v2_tpu.models import lotka_volterra_f_vec
+    from magi_v2_tpu.utils.data import simulate_ode
+
+    th = np.array(MODEL_REGISTRY["lotka_volterra"].true_thetas)
+    a, b, c, d = th
+    eq = jnp.asarray([[d / c, a / b]])
+    f_eq = np.asarray(lotka_volterra_f_vec(jnp.zeros((1, 1)), eq, jnp.asarray(th)))
+    np.testing.assert_allclose(f_eq, 0.0, atol=1e-12)
+
+    _, _, X = simulate_ode(
+        lotka_volterra_f_vec, x0=np.array([1.0, 1.0]), thetas=th,
+        t_max=10.0, n_obs=201, noise_sd=0.0, substeps=100,
+    )
+    assert np.all(X > 0)
+    # both components rise above and fall below their equilibrium values
+    assert X[:, 0].min() < d / c < X[:, 0].max()
+    assert X[:, 1].min() < a / b < X[:, 1].max()
+
+
+def test_protein_transduction_conservation():
+    """Pathway invariants: total receptor R + S_R + R_pp is conserved
+    (dsum/dt = 0); total substrate S + S_d + S_R is consumed exactly at the
+    phosphorylation rate k4*S_R (S in complex is spent activating R)."""
+    from magi_v2_tpu.models import protein_transduction_f_vec
+
+    rng = np.random.default_rng(7)
+    t = jnp.zeros((6, 1))
+    X = jnp.asarray(rng.uniform(0.05, 1.0, (6, 5)))
+    th = jnp.asarray(MODEL_REGISTRY["protein_transduction"].true_thetas)
+    f = np.asarray(protein_transduction_f_vec(t, X, th))
+    np.testing.assert_allclose(f[:, [2, 3, 4]].sum(axis=1), 0.0, atol=1e-12)
+    k4 = th[3]
+    np.testing.assert_allclose(
+        f[:, [0, 1, 3]].sum(axis=1), -k4 * np.asarray(X)[:, 3], rtol=1e-10
+    )
