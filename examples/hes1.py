@@ -34,6 +34,18 @@ posterior itself — weak identifiability, see scripts/hes1_profile.py —
 and the multimodality claim is independently confirmed: a SciPy-
 transliterated posterior (no shared code) agrees the decoupled mode
 out-densities the truth basin (-376 vs -5204).
+
+Unobserved-H uncertainty (round-4 adjudication, BASELINE_MEASURED
+"hes1_H_dispersed_starts"): the centered sampler underdisperses the
+129-dim H block (truth coverage of the sampled 95% band is
+init-sensitive: 0.256 from heuristic starts, 0.597 from Laplace-
+dispersed starts at identical geometry), and the residual miss is the
+g/f flat-direction offset propagated through the ODE manifold (the band
+covers the self-consistent trajectory at the sampled theta at 100% of
+grid points). For honest H bands either quote the map_estimate() Laplace
+sd (truth coverage 1.0) or start chains from
+map_estimate(laplace_draws=num_chains) via predict(init_states=...)
+(scripts/hes1_long.py --init laplace).
 """
 
 import argparse

@@ -149,9 +149,37 @@ def main():
         np.linspace(0, 240, NI), np.linspace(0, 240, len(X_true)),
         np.log(X_true[:, 2]),
     )
-    H = np.asarray(res["X_samps"])[..., 2].reshape(-1, NI)
+    H_tc = np.asarray(res["X_samps"])[..., 2]      # (T, C, N_I)
+    H = H_tc.reshape(-1, NI)
     lo, hi = np.quantile(H, [0.025, 0.975], axis=0)
     cov = float(((logH_true >= lo) & (logH_true <= hi)).mean())
+
+    # ---- H mixing + self-consistency yardsticks ------------------------
+    # (same diagnostics as scripts/hes1_H_mixing_probe.py, recorded on the
+    # acceptance run itself)
+    # per-grid-point ESS / split R-hat over the unobserved component: theta
+    # ESS does not certify the 129-dim H block
+    from magi_v2_tpu.utils.diagnostics import (
+        effective_sample_size,
+        potential_scale_reduction,
+    )
+
+    ess_H = np.array([effective_sample_size(H_tc[:, :, i])
+                      for i in range(NI)])
+    rhat_H = np.array([potential_scale_reduction(H_tc[:, :, i])
+                       for i in range(NI)])
+    # self-consistency: if the band covers the ODE trajectory integrated at
+    # the SAMPLED posterior-mean (theta, x0), the H marginal is internally
+    # consistent and any truth miss is the measured flat-direction theta
+    # offset propagated through the ODE manifold, not band width
+    x0_mean = np.exp(np.asarray(res["X_samps"]).mean(axis=(0, 1))[0])
+    _, _, X_self = simulate_ode(
+        MODEL_REGISTRY["hes1"].f_vec,
+        x0=x0_mean, thetas=mean, t_max=240.0, n_obs=NI,
+        noise_sd=0.0, substeps=200,
+    )
+    logH_self = np.log(np.maximum(X_self[:, 2], 1e-12))
+    cov_self = float(((logH_self >= lo) & (logH_self <= hi)).mean())
 
     # ---- independent multimodality check -----------------------------
     # State A: the truth-basin posterior mean from this run.
@@ -276,6 +304,11 @@ def main():
             "rhat_max": round(basin_summary["rhat_max"], 4),
         },
         "H_coverage_95": round(cov, 3),
+        "H_coverage_95_vs_self_consistent_ode": round(cov_self, 3),
+        "H_ess_min": round(float(ess_H.min()), 1),
+        "H_ess_median": round(float(np.median(ess_H)), 1),
+        "H_rhat_max": round(float(rhat_H.max()), 4),
+        "H_rhat_median": round(float(np.median(rhat_H)), 4),
         "multimodality_check": {
             **modes,
             "escaped_theta": [round(float(v), 4) for v in th_esc],
