@@ -171,6 +171,12 @@ def run_config(name):
                  "(results/r_offset_validation.json); E and I cover at "
                  "1.0. The round-3 'coverage 1.0' came from the annealed "
                  "run's inflated CIs."),
+        "sirw": ("R-component coverage 0.67 adjudicated posterior-"
+                 "intrinsic (round 4, results/sirw_r_coverage_probe.json): "
+                 "the band covers the self-consistent ODE trajectory at "
+                 "100% of points on all components; truth sits <= 2.25 sd "
+                 "out on R at ~0.008-wide CIs — same class as the SEIR R "
+                 "offset"),
         "lorenz513": ("the dense-grid config where band truncation is "
                       "negligible (0.78% of K^-1 mass at b=100) — theta "
                       "and coverage both at the acceptance bar"),
