@@ -64,7 +64,11 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
+        # x64 only on the CPU backend: global x64 in a TPU process makes
+        # incidental f64 ops hang/kernel-fault the axon runtime (CLAUDE.md).
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
 
     from magi_v2_tpu import MAGI_v2, MagiConfig
     from magi_v2_tpu.models import MODEL_REGISTRY, hes1_log_f_vec
@@ -85,7 +89,9 @@ def main():
     X_obs_log = np.log(X_true) + 0.15 * rng.standard_normal(X_true.shape)
     X_obs_log[:, 2] = np.nan  # H fully unobserved
 
-    cfg = MagiConfig()
+    # f64 sampling on CPU; f32 on TPU (measured: TPU f32 reproduces the
+    # CPU f64 recovery exactly — same theta ratios, 30x faster).
+    cfg = MagiConfig() if args.cpu else MagiConfig().replace(dtype=jnp.float32)
     if args.quick:
         cfg = cfg.replace(hparam_num_iters=200, init_num_iters=2000)
 

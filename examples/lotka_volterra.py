@@ -4,7 +4,8 @@ SEIR/SIRW workloads, vignette.ipynb cell 3 / test_magi_script.py:19-45).
 
 Closed LV orbits make this the friendliest multi-parameter recovery demo:
 even a --quick run lands theta within a few percent (the round-4 drive
-measured ~1% at 4x100+100 on CPU f32).
+measured ~1% at 4x100+100 with --cpu, i.e. CPU f64 — the configuration
+this script runs under that flag).
 """
 
 import argparse
@@ -24,7 +25,11 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
+        # x64 only on the CPU backend: global x64 in a TPU process makes
+        # incidental f64 ops hang/kernel-fault the axon runtime (CLAUDE.md).
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
 
     from magi_v2_tpu import MAGI_v2, MagiConfig
     from magi_v2_tpu.models import MODEL_REGISTRY, lotka_volterra_f_vec
@@ -42,7 +47,9 @@ def main():
         seed=0,
     )
 
-    cfg = MagiConfig()
+    # f64 sampling on CPU (x64 enabled above); f32 on TPU, where f64 is
+    # unsupported by the MXU and x64 is unsafe for the axon backend.
+    cfg = MagiConfig() if args.cpu else MagiConfig().replace(dtype=jnp.float32)
     if args.quick:
         cfg = cfg.replace(hparam_num_iters=200, init_num_iters=1000)
 
