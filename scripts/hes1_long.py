@@ -171,23 +171,30 @@ def main():
     # self-consistency: if the band covers the ODE trajectory integrated at
     # the SAMPLED posterior-mean (theta, x0), the H marginal is internally
     # consistent and any truth miss is the measured flat-direction theta
-    # offset propagated through the ODE manifold, not band width
-    x0_mean = np.exp(np.asarray(res["X_samps"]).mean(axis=(0, 1))[0])
+    # offset propagated through the ODE manifold, not band width.
+    # The posterior is multimodal (that is why in_basin exists), so the
+    # integration point must be the TRUTH-BASIN mean: a cross-mode pooled
+    # average corresponds to no mode and would make cov_self meaningless
+    # whenever any chain escapes.
+    X_samps_all = np.asarray(res["X_samps"])                 # (T, C, N_I, 3)
+    X_basin = X_samps_all[:, in_basin] if 0 < n_in else X_samps_all
+    x0_mean = np.exp(X_basin.mean(axis=(0, 1))[0])
     _, _, X_self = simulate_ode(
         MODEL_REGISTRY["hes1"].f_vec,
-        x0=x0_mean, thetas=mean, t_max=240.0, n_obs=NI,
+        x0=x0_mean, thetas=basin_mean, t_max=240.0, n_obs=NI,
         noise_sd=0.0, substeps=200,
     )
     logH_self = np.log(np.maximum(X_self[:, 2], 1e-12))
     cov_self = float(((logH_self >= lo) & (logH_self <= hi)).mean())
 
     # ---- independent multimodality check -----------------------------
-    # State A: the truth-basin posterior mean from this run.
+    # State A: the truth-basin posterior mean from this run (basin-restricted
+    # for the same multimodality reason as cov_self above).
     # State B: the decoupled-H mode, found the way it was originally
     # observed (examples/hes1.py docstring): a short GN-whitened
     # (reparam='precond') run escapes the truth basin from the same init;
     # its highest-lp draw is the representative of the escaped mode.
-    X_mean = np.asarray(res["X_samps"]).mean(axis=(0, 1))   # (N_I, 3)
+    X_mean = X_basin.mean(axis=(0, 1))                      # (N_I, 3)
     softminus = lambda y: np.log(np.expm1(np.maximum(y, 1e-8)))
 
     def flat_state(X, sig_sq, th7):
@@ -255,7 +262,7 @@ def main():
               f"theta {np.round(th_esc, 4)}", flush=True)
 
         modes = {}
-        for name, X, th7 in [("truth_basin", X_mean, mean),
+        for name, X, th7 in [("truth_basin", X_mean, basin_mean),
                              ("escaped_mode", X_esc, th_esc)]:
             Xs, sp, tp = flat_state(X, sig_fix, th7)
             v_ours = float(lp_ours(jnp.asarray(Xs), jnp.asarray(sp),

@@ -100,6 +100,11 @@ def main():
                          "mode that removes the b=100 truncation bias at "
                          "O(D*N_I^2) per-leapfrog cost")
     ap.add_argument("--n-obs", type=int, default=257)
+    ap.add_argument("--disc", type=int, default=2,
+                    help="discretization doubling knob: N_I = "
+                         "2^disc*(n_obs-1)+1. disc=3 with 257 obs gives the "
+                         "N_I=2049 max-scale grid (halved h: 16x stiffer "
+                         "h^-4 manifold, finer-h truncation regime)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--checkpoint", default="",
@@ -142,7 +147,7 @@ def main():
         f_vec=lorenz_f_vec, config=cfg,
     )
     t0 = time.time()
-    model.initial_fit(discretization=2, verbose=True)
+    model.initial_fit(discretization=args.disc, verbose=True)
     setup_s = time.time() - t0
     print(f"initial_fit: {setup_s:.1f}s  N_I={model.mag_I}  "
           f"theta_init={model.thetas_init}", flush=True)
