@@ -62,6 +62,101 @@ TRUE_POST_LEAPFROGS = 192
 MASS_MATRIX = "dense"
 
 
+# TPU v5e (v5 lite) public peak numbers (cloud.google.com/tpu/docs/v5e):
+# 197 TFLOP/s bf16 on the MXU, 819 GB/s HBM bandwidth per chip. The
+# sampler pins matmul_precision="highest" (6-pass bf16 emulation of f32,
+# CLAUDE.md "matmul precision 'high' is UNSAFE"), so the f32-"highest"
+# MXU ceiling is 197/6 ~ 32.8 TFLOP/s.
+V5E_BF16_PEAK_FLOPS = 197e12
+V5E_F32_HIGHEST_PEAK_FLOPS = V5E_BF16_PEAK_FLOPS / 6.0
+V5E_HBM_BYTES_PER_S = 819e9
+
+
+def _roofline(model, dtype, micro_evals_per_sec):
+    """FLOP/byte accounting of the fused log-posterior+grad eval.
+
+    Lowers the exact batched eval the microbench times (256 vmapped
+    chains, matmul 'highest') and reads XLA's post-optimization cost
+    analysis: 'flops' counts logical HLO flops, 'bytes accessed' the
+    HBM traffic of the fused executable. Combined with the measured
+    evals/s this gives achieved TFLOP/s, achieved GB/s, MFU against the
+    f32-"highest" MXU ceiling, and names the roofline bound (whichever
+    of MXU time / HBM time dominates at the measured throughput).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from magi_v2_tpu.sampler.magi_state import flatten_state
+
+    mode, *_ = model._build_sampling_setup("precond", "dense", dtype)
+    q0 = flatten_state(
+        mode.X0,
+        jnp.zeros((model.D,), dtype),
+        jnp.zeros((model.D_thetas,), dtype),
+    )
+    q = jnp.broadcast_to(q0, (NUM_CHAINS, q0.shape[0]))
+    one = jnp.asarray(1.0, dtype)
+    f = jax.jit(lambda q: jax.vmap(lambda r: mode.logp_grad(r, one))(q))
+    try:
+        with jax.default_matmul_precision("highest"):
+            ca = f.lower(q).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops_batch = float(ca["flops"])
+        bytes_batch = float(ca.get("bytes accessed", 0.0))
+    except Exception as e:  # cost analysis is backend-best-effort
+        return {"error": f"cost_analysis unavailable: {e!r}"}
+
+    flops_per_eval = flops_batch / NUM_CHAINS
+    bytes_per_eval = bytes_batch / NUM_CHAINS
+    achieved_flops = micro_evals_per_sec * flops_per_eval
+    achieved_bytes = micro_evals_per_sec * bytes_per_eval
+    # roofline: time per eval if purely MXU-bound vs purely HBM-bound
+    t_mxu = flops_per_eval / V5E_F32_HIGHEST_PEAK_FLOPS
+    t_hbm = bytes_per_eval / V5E_HBM_BYTES_PER_S if bytes_per_eval else 0.0
+    t_meas = 1.0 / micro_evals_per_sec
+    if t_hbm >= t_mxu:
+        bound = "HBM-bandwidth"
+        roofline_frac = t_hbm / t_meas
+    else:
+        bound = "MXU"
+        roofline_frac = t_mxu / t_meas
+    next_10x = (
+        "cut HBM bytes/eval: the pinned f32-'highest' matmuls run as 6 "
+        "bf16 passes re-streaming operands, so a numerically-safe "
+        "reduced-precision path for the large kernel-matrix matvecs (or "
+        "one fused pallas pass over the four quadratic-form terms) is "
+        "the lever — more MXU FLOP/s does not help at this intensity"
+        if t_hbm >= t_mxu else
+        "raise MXU utilization: batch the per-term matvecs into fewer, "
+        "larger matmuls (pad-free tile shapes) and relax the 6-pass "
+        "'highest' emulation where a 3-pass term is provably safe"
+    )
+    return {
+        "flops_per_eval": round(flops_per_eval, 1),
+        "bytes_per_eval": round(bytes_per_eval, 1),
+        "arithmetic_intensity_flops_per_byte": round(
+            flops_per_eval / bytes_per_eval, 2
+        ) if bytes_per_eval else None,
+        "achieved_tflops": round(achieved_flops / 1e12, 3),
+        "achieved_hbm_gb_per_s": round(achieved_bytes / 1e9, 1),
+        "mfu_pct_f32_highest": round(
+            100 * achieved_flops / V5E_F32_HIGHEST_PEAK_FLOPS, 2
+        ),
+        "mfu_pct_bf16_peak": round(
+            100 * achieved_flops / V5E_BF16_PEAK_FLOPS, 2
+        ),
+        "bound": bound,
+        "pct_of_roofline": round(100 * roofline_frac, 1),
+        "next_10x": next_10x,
+        "note": (
+            "bound = max(MXU time, HBM time) at the eval's intensity; "
+            "pct_of_roofline = that bound's share of the measured eval "
+            "time (the remainder is inter-fusion traffic/launch overhead "
+            "the analysis attributes to neither peak)."
+        ),
+    }
+
+
 def _microbench_fused_eval(model, dtype, iters=2000, repeats=3):
     """Median fused log-posterior+grad evals/sec/chip over ``repeats``
     timed dispatches of ``iters`` chained vmapped evals (256 chains)."""
@@ -177,9 +272,11 @@ def main():
     model.predict(num_results=50, num_burnin_steps=50, **common)
     prime_s = time.time() - t0
 
-    # median-of-3 timed runs (VERDICT round-2 Weak #3): ESS_min is
-    # seed-stable but the axon-tunnel wall swings up to 3x run-to-run, so
-    # the headline ESS/s is the median with the min-max band in the detail
+    # median-of-5 timed runs (VERDICT round-2 Weak #3; round-4 Weak #2
+    # raised the count): ESS_min is seed-stable but the axon-tunnel wall
+    # swings up to 3x run-to-run, so the headline ESS/s is the median with
+    # the min-max band in the detail, and a separate profiled run reports
+    # the tunnel-free device-time ESS/s
     def timed_run(seed, **overrides):
         kw = dict(common, **overrides)
         kw["seed"] = seed
@@ -190,6 +287,7 @@ def main():
         wall = time.time() - t0
         s = summarize_chains(res["thetas_samps"], wall)
         s["wall_s"] = wall
+        s["timings"] = res.get("timings")
         s["divergence_rate"] = float(
             res["kernel_results"]["divergences"].mean()
         )
@@ -205,12 +303,32 @@ def main():
         )
         return s
 
-    runs = [timed_run(seed) for seed in range(3)]
+    runs = [timed_run(seed) for seed in range(5)]
     walls = [r["wall_s"] for r in runs]
     ess_rates = sorted(r["ess_per_sec_min"] for r in runs)
-    ess_per_sec = ess_rates[1]                      # median of 3
+    ess_per_sec = ess_rates[len(ess_rates) // 2]    # median of 5
     rhat_max = max(r["rhat_max"] for r in runs)
     ess_min = min(r["ess_min"] for r in runs)
+
+    # Device-time ESS/s (VERDICT r4 Weak #2): one extra run with
+    # profile_timings=True records PER-BLOCK walls under per-block device
+    # sync; n_blocks x min(block wall) extrapolates steady-state device
+    # compute per phase, discarding tunnel hiccups that inflate the wall
+    # headline's run-to-run band. Separates sampler quality from
+    # transport luck: ESS_min / device-compute-seconds.
+    prof = timed_run(10, profile_timings=True)
+    tm = prof["timings"] or {}
+    dev_s = band_dev = None
+    wb, sb = tm.get("warmup_block_walls_s"), tm.get("block_walls_s")
+    if wb and sb:
+        dev_s = (tm.get("eps_init_s", 0.0)
+                 + len(wb) * min(wb) + len(sb) * min(sb))
+        ess_per_device_sec = prof["ess_min"] / dev_s
+        # intra-run jitter band on the same estimator: median vs min
+        med = (tm.get("eps_init_s", 0.0)
+               + len(wb) * sorted(wb)[len(wb) // 2]
+               + len(sb) * sorted(sb)[len(sb) // 2])
+        band_dev = med / dev_s
 
     # the true-posterior datapoint (library default anneal_mode): the
     # tempered headline compares like-for-like with the reference, this one
@@ -226,6 +344,7 @@ def main():
     # matmul precision), chained through the state so XLA cannot elide
     # them. Measures the eval kernel itself without HMC bookkeeping.
     micro_evals_per_sec = _microbench_fused_eval(model, jnp.float32)
+    roofline = _roofline(model, jnp.float32, micro_evals_per_sec)
 
     baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
     vs_baseline = None
@@ -242,8 +361,18 @@ def main():
         "unit": "ESS/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "detail": {
-            "ess_per_sec_band_3_runs": [round(ess_rates[0], 1),
+            "ess_per_sec_band_5_runs": [round(ess_rates[0], 1),
                                         round(ess_rates[-1], 1)],
+            # steady-state device-compute metric (per-block-min
+            # extrapolation from the profiled run; tunnel-jitter-free)
+            "ess_per_device_sec": (
+                round(ess_per_device_sec, 1) if dev_s else None
+            ),
+            "device_compute_s": round(dev_s, 2) if dev_s else None,
+            "device_band_median_over_min": (
+                round(band_dev, 3) if band_dev else None
+            ),
+            "profiled_run_ess_min": round(prof["ess_min"], 1),
             "ess_min": round(ess_min, 1),
             "rhat_max": round(rhat_max, 4),
             "converged": bool(rhat_max <= 1.05),
@@ -275,6 +404,10 @@ def main():
                 "microbench": round(micro_evals_per_sec, 1),
                 "microbench_iters_x_chains": [2000, NUM_CHAINS],
             },
+            # roofline/MFU accounting of the fused eval (VERDICT r4
+            # Missing #3): XLA cost analysis x measured evals/s vs the
+            # v5e f32-"highest" MXU ceiling and HBM bandwidth
+            "roofline": roofline,
             "num_chains": NUM_CHAINS,
             "steps": f"{NUM_BURNIN}+{NUM_RESULTS}",
             "hmc_leapfrogs": HMC_LEAPFROGS,

@@ -129,9 +129,14 @@ class SamplerConfig(NamedTuple):
     # against resuming a checkpoint from a different run.
     checkpoint_path: str = ""
     # Record wall-clock phase timings (eps search, warmup, sampling
-    # dispatch/staging/drain) in ChainStats.timings. Adds one device sync
-    # at the warmup/sampling boundary (stalls the host thread, not the
-    # device queue) — keep off in production, on for perf attribution.
+    # dispatch/staging/drain) in ChainStats.timings, plus PER-BLOCK walls
+    # (warmup_block_walls_s / block_walls_s) measured with a device sync
+    # after every dispatch block. The syncs serialize the host thread with
+    # the device queue (losing the stage/compute overlap), so profiled
+    # walls are an upper bound on production walls — keep off in
+    # production, on for perf attribution. The per-block minimum is the
+    # tunnel-jitter-robust estimator of steady-state device compute per
+    # block (bench.py's device-time ESS/s).
     profile_timings: bool = False
     # Under dispatch blocking, draws were previously ALWAYS staged to host
     # per block. Through the axon tunnel that transfer runs ~29 MB/s and
@@ -688,7 +693,13 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
         for start, size in blocks(config.num_burnin_steps):
             if start + size <= warmup_done:
                 continue
+            t_blk = time.time()
             wcarry = warmup_blk(wcarry, start + jnp.arange(size))
+            if prof:
+                jax.block_until_ready(wcarry[0])
+                timings.setdefault("warmup_block_walls_s", []).append(
+                    time.time() - t_blk
+                )
             if ck:
                 _ckpt_save_state(ck, "warmup", start + size,
                                  wcarry, fingerprint)
@@ -765,6 +776,11 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
             )
         t0 = time.time()
         scarry, (s_blk, i_blk) = sample_blk(scarry, start + jnp.arange(size))
+        if prof:
+            jax.block_until_ready(scarry[0])
+            timings.setdefault("block_walls_s", []).append(
+                time.time() - t0
+            )
         dt = time.time() - t0
         pa["dispatch_s"] += dt
         if pa["first_dispatch_s"] is None:
