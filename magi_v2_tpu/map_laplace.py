@@ -14,11 +14,23 @@ productizes that probe as ``MAGI_v2.map_estimate()`` — the accurate
 dense-grid point estimate with Laplace credible intervals, complementing
 ``predict()`` (which samples, exactly where sampling is tractable).
 
-Method: whiten the trajectory block with the GP-prior factor C^{1/2}
-(a pure coordinate change — conditioning only), optimize the negative
-unnormalized log posterior (the reference's 4-term form,
-magi_v2.py:308-348, beta_temp=1) over (w, theta) with Adam (jitted
-lax.scan) then SciPy L-BFGS-B with positivity bounds. Free sigma^2 is
+Method: whiten the trajectory block (a pure coordinate change —
+conditioning only), optimize the negative unnormalized log posterior
+(the reference's 4-term form, magi_v2.py:308-348, beta_temp=1) over
+(w, theta) with Adam (jitted lax.scan) then SciPy L-BFGS-B with
+positivity bounds. Two whitenings (``precondition=``):
+
+- ``"gn"`` (default): the banded Gauss-Newton Cholesky factor U the
+  sampler already builds (sampler/precond.py) — w = U (x - mu),
+  unwhitened per evaluation by the exact O(ND*b) block-banded back
+  substitution. The GN factor captures the ODE-Jacobian coupling the
+  prior factor misses, so the whitened objective is ~unit-curvature and
+  L-BFGS-B converges in a few hundred iterations where the prior
+  whitening needed tens of thousands (measured, Lorenz N_I=1025:
+  27,442 iters / 1100 s -> see results/lorenz1025_map.json round 5).
+  Band truncation of U affects conditioning only, never the optimum.
+- ``"prior"``: the GP-prior factor C^{1/2} (the round-4 path, kept as
+  the fallback; per-component, ignores cross-component ODE curvature). Free sigma^2 is
 PROFILED analytically per step (closed form SSE_d/N_d clipped at the LB
 heuristic, envelope theorem via stop_gradient) — explicit sigma
 coordinates stalled L-BFGS-B line searches on their 1/sigma^2 curvature
@@ -90,6 +102,7 @@ def map_estimate(
     draws_seed: int = 0,
     draws_scale: float = 1.0,
     draws_rel_floor: float = 1e-9,
+    precondition: str = "gn",
 ):
     """Joint MAP of the EXACT (untruncated, beta_temp=1) MAGI posterior
     over (X, theta[, sigma^2]), with optional Laplace credible sds.
@@ -109,6 +122,11 @@ def map_estimate(
     over decades) and uncapped draws would eject chains from the basin.
     theta draws are clipped at the positivity bound.
 
+    precondition: "gn" (banded Gauss-Newton whitening, default — see the
+    module docstring) or "prior" (GP-prior C^{1/2} whitening). The MAP is
+    identical either way (both are exact linear coordinate changes); only
+    optimizer conditioning differs.
+
     Returns a dict: theta_map, sigma_sqs_map, X_map (N_I, D), neg_logpost,
     grad_norm, lbfgs_iters, converged, band_truncation_bypassed, and (with
     laplace=True) theta_sd, X_sd, hessian_spd. The MAP is taken in natural
@@ -117,17 +135,21 @@ def map_estimate(
     """
     import jax
 
+    if precondition not in ("gn", "prior"):
+        raise ValueError(f"precondition must be 'gn' or 'prior', got "
+                         f"{precondition!r}")
     with model._setup_device_ctx():
         return _map_estimate_impl(
             model, sigma_sqs_fixed, adam_steps, adam_lr, lbfgs_maxiter,
             laplace or laplace_draws, verbose, laplace_draws, draws_seed,
-            draws_scale, draws_rel_floor,
+            draws_scale, draws_rel_floor, precondition,
         )
 
 
 def _map_estimate_impl(model, sigma_sqs_fixed, adam_steps, adam_lr,
                        lbfgs_maxiter, laplace, verbose, laplace_draws=0,
-                       draws_seed=0, draws_scale=1.0, draws_rel_floor=1e-9):
+                       draws_seed=0, draws_scale=1.0, draws_rel_floor=1e-9,
+                       precondition="gn"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -155,14 +177,47 @@ def _map_estimate_impl(model, sigma_sqs_fixed, adam_steps, adam_lr,
     oi = model.obs_index
     N_ds = np.asarray(oi.N_ds, np.float64)
 
-    C_half = np.stack([_sym_sqrt_inv_np(C_inv[d]) for d in range(D)])
     R = np.stack([_sym_sqrt_np(C_inv[d]) for d in range(D)])
     S = np.stack([_sym_sqrt_np(K_inv[d]) for d in range(D)])
-
-    A = jnp.asarray(np.einsum("dij,djk->dik", R, C_half))    # t1 factor
-    M = jnp.asarray(np.einsum("dij,djk->dik", m_ds, C_half))  # m xc from w
-    Ch = jnp.asarray(C_half)
     Sj = jnp.asarray(S)
+
+    gn = precondition == "gn"
+    if gn:
+        # banded Gauss-Newton whitening — the factor the SAMPLER uses
+        # (sampler/precond.py): w = U (x - mu) with U the banded Cholesky
+        # of the GN precision at the init point, built from the EXACT
+        # factored operators (band-truncated internally: preconditioner
+        # quality only, the optimum is unchanged). Unwhitening per
+        # evaluation is the exact O(ND*b) block-banded back substitution.
+        from magi_v2_tpu.ops.banded import (
+            banded_diag_tile_inverses,
+            banded_to_blocks_upper,
+            block_banded_matvec_upper,
+            block_banded_triangular_solve_upper,
+        )
+        from magi_v2_tpu.sampler.precond import build_gn_cholesky_banded
+
+        U_band, gn_info = build_gn_cholesky_banded(
+            model,
+            sigma_sqs_init=None if sigma_sqs_fixed is None else np.broadcast_to(
+                np.asarray(sigma_sqs_fixed, np.float64), (D,)),
+            C_inv_sqrts=R, K_inv_sqrts=S,
+        )
+        U_blocks = jnp.asarray(banded_to_blocks_upper(jnp.asarray(U_band)))
+        U_dinv = banded_diag_tile_inverses(U_blocks, N * D)
+        Rj = jnp.asarray(R)
+        m_j = jnp.asarray(m_ds)
+
+        def to_xc(w_flat):
+            """x - mu (N, D) from whitened w: exact back substitution."""
+            return block_banded_triangular_solve_upper(
+                U_blocks, w_flat, diag_inv=U_dinv
+            ).reshape(N, D)
+    else:
+        C_half = np.stack([_sym_sqrt_inv_np(C_inv[d]) for d in range(D)])
+        A = jnp.asarray(np.einsum("dij,djk->dik", R, C_half))   # t1 factor
+        M = jnp.asarray(np.einsum("dij,djk->dik", m_ds, C_half))  # m xc
+        Ch = jnp.asarray(C_half)
     idxs = jnp.asarray(oi.not_nan_idxs, jnp.int32)
     cols = jnp.asarray(oi.not_nan_cols, jnp.int32)
     y_obs = jnp.asarray(oi.y_observed, jnp.float64)
@@ -202,10 +257,17 @@ def _map_estimate_impl(model, sigma_sqs_fixed, adam_steps, adam_lr,
 
     def neg_lp(z):
         w, theta = unpack(z)
-        x = jnp.einsum("dnm,md->nd", Ch, w) + mu_j[None, :]
-        t1 = jnp.sum(jnp.einsum("dnm,md->nd", A, w) ** 2)
-        f = model.f_vec(grid_I, x, theta)                    # (N, D)
-        r = f.T - jnp.einsum("dnm,md->dn", M, w)             # (D, N)
+        if gn:
+            xc = to_xc(w.reshape(-1))                        # (N, D)
+            x = xc + mu_j[None, :]
+            t1 = jnp.sum(jnp.einsum("dnm,md->dn", Rj, xc) ** 2)
+            f = model.f_vec(grid_I, x, theta)                # (N, D)
+            r = f.T - jnp.einsum("dnm,md->dn", m_j, xc)      # (D, N)
+        else:
+            x = jnp.einsum("dnm,md->nd", Ch, w) + mu_j[None, :]
+            t1 = jnp.sum(jnp.einsum("dnm,md->nd", A, w) ** 2)
+            f = model.f_vec(grid_I, x, theta)                # (N, D)
+            r = f.T - jnp.einsum("dnm,md->dn", M, w)         # (D, N)
         t2 = jnp.sum(jnp.einsum("dnm,dm->dn", Sj, r) ** 2)
         x_at_obs = jnp.take(x.reshape(-1), idxs)
         if sigma_free:
@@ -218,8 +280,13 @@ def _map_estimate_impl(model, sigma_sqs_fixed, adam_steps, adam_lr,
         return 0.5 * ((t1 + t2) / beta + t3 + t4)
 
     # init: w from Xhat_init, theta from thetas_init
-    w0 = np.einsum("dnm,md->nd", R,
-                   np.asarray(model.Xhat_init, np.float64) - mu[None, :])
+    xc0 = np.asarray(model.Xhat_init, np.float64) - mu[None, :]
+    if gn:
+        w0 = np.asarray(
+            block_banded_matvec_upper(U_blocks, jnp.asarray(xc0.reshape(-1)))
+        ).reshape(N, D)
+    else:
+        w0 = np.einsum("dnm,md->nd", R, xc0)
     th0 = np.maximum(np.asarray(model.thetas_init, np.float64), 1e-8)
     z0 = np.concatenate([w0.reshape(-1), th0])
     dim = z0.shape[0]
@@ -290,7 +357,22 @@ def _map_estimate_impl(model, sigma_sqs_fixed, adam_steps, adam_lr,
     z_map = sol.x
 
     w_map, theta_map = (np.asarray(a) for a in unpack(jnp.asarray(z_map)))
-    X_map = np.einsum("dnm,md->nd", C_half, w_map) + mu[None, :]
+    if gn:
+        X_map = np.asarray(to_xc(jnp.asarray(w_map.reshape(-1)))) + mu[None, :]
+        # dense T = U^{-1} (x_flat = mu_flat + T w): only needed to push
+        # the Laplace covariance / draws from w- to x-coordinates
+        if laplace:
+            import scipy.linalg
+
+            from magi_v2_tpu.ops.banded_host import band_to_scipy_upper
+
+            T_unwhiten = scipy.linalg.solve_banded(
+                (0, (U_band.shape[0] - 1) // 2),
+                band_to_scipy_upper(np.asarray(U_band, np.float64)),
+                np.eye(N * D),
+            )
+    else:
+        X_map = np.einsum("dnm,md->nd", C_half, w_map) + mu[None, :]
     if sigma_free:
         x_at_obs = X_map.reshape(-1)[np.asarray(oi.not_nan_idxs)]
         sig_map = np.asarray(
@@ -313,8 +395,12 @@ def _map_estimate_impl(model, sigma_sqs_fixed, adam_steps, adam_lr,
         "converged": bool(sol.success
                           or grad_norm <= 1e-3 * (1.0 + abs(sol.fun))),
         "band_truncation_bypassed": bypassed,
+        "precondition": precondition,
         "wall_s": time.time() - t_start,
     }
+    if gn:
+        out["gn_jitter"] = float(gn_info["jitter"])
+        out["gn_bw_precision"] = int(gn_info["bw_precision"])
 
     if laplace:
         grad_fn = jax.jit(jax.grad(neg_lp))
@@ -327,13 +413,21 @@ def _map_estimate_impl(model, sigma_sqs_fixed, adam_steps, adam_lr,
         H_inv = (V / w_clip[None, :]) @ V.T
         th_sl = slice(N * D, N * D + D_th)
         out["theta_sd"] = np.sqrt(np.diag(H_inv[th_sl, th_sl]))
-        # X covariance: x[:, d] = mu_d + C_half[d] @ w[:, d], so
-        # var(x[n, d]) = diag(C_half[d] Hww[:, d, :, d] C_half[d]')[n]
-        Hw = H_inv[: N * D, : N * D].reshape(N, D, N, D)
-        X_var = np.stack(
-            [np.einsum("nm,mk,nk->n", C_half[d], Hw[:, d, :, d],
-                       C_half[d], optimize=True)
-             for d in range(D)], axis=1)
+        if gn:
+            # x_flat = mu_flat + T w (T = U^{-1} mixes components), so
+            # var(x_flat) = diag(T Hww T')
+            Hww = H_inv[: N * D, : N * D]
+            X_var = np.einsum(
+                "ij,ij->i", T_unwhiten @ Hww, T_unwhiten
+            ).reshape(N, D)
+        else:
+            # x[:, d] = mu_d + C_half[d] @ w[:, d], so
+            # var(x[n, d]) = diag(C_half[d] Hww[:, d, :, d] C_half[d]')[n]
+            Hw = H_inv[: N * D, : N * D].reshape(N, D, N, D)
+            X_var = np.stack(
+                [np.einsum("nm,mk,nk->n", C_half[d], Hw[:, d, :, d],
+                           C_half[d], optimize=True)
+                 for d in range(D)], axis=1)
         out["X_sd"] = np.sqrt(np.maximum(X_var, 0.0))
         out["hessian_spd"] = spd
         out["hessian_min_eig_rel"] = float(w_eig.min() / w_eig.max())
@@ -347,10 +441,16 @@ def _map_estimate_impl(model, sigma_sqs_fixed, adam_steps, adam_lr,
             half = V / np.sqrt(w_draw)[None, :]
             eps = rng.standard_normal((laplace_draws, z_map.shape[0]))
             zs = z_map[None, :] + draws_scale * (eps @ half.T)
-            W = zs[:, : N * D].reshape(laplace_draws, N, D)
-            out["X_draws"] = (
-                np.einsum("dnm,cmd->cnd", C_half, W) + mu[None, None, :]
-            )
+            if gn:
+                out["X_draws"] = (
+                    (zs[:, : N * D] @ T_unwhiten.T)
+                    .reshape(laplace_draws, N, D) + mu[None, None, :]
+                )
+            else:
+                W = zs[:, : N * D].reshape(laplace_draws, N, D)
+                out["X_draws"] = (
+                    np.einsum("dnm,cmd->cnd", C_half, W) + mu[None, None, :]
+                )
             out["theta_draws"] = np.maximum(zs[:, N * D :], 1e-8)
 
     return out

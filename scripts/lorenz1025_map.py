@@ -14,6 +14,7 @@ coverage vs the noiseless truth.
 Writes results/lorenz1025_map.json.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -25,6 +26,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--precondition", default="gn",
+                    choices=["gn", "prior"],
+                    help="map_estimate whitening (gn: banded Gauss-Newton "
+                         "factor, round-5 default; prior: the round-4 "
+                         "C^{1/2} path, 27,442 iters / 1100 s)")
+    ap.add_argument("--out", default="results/lorenz1025_map.json")
+    args = ap.parse_args()
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -50,7 +60,8 @@ def main():
         t_max=2.0, n_obs=model.mag_I, noise_sd=0.0, substeps=50,
     )
 
-    r = model.map_estimate(sigma_sqs_fixed=0.25, verbose=True)
+    r = model.map_estimate(sigma_sqs_fixed=0.25, verbose=True,
+                           precondition=args.precondition)
 
     lo = r["X_map"] - 1.96 * r["X_sd"]
     hi = r["X_map"] + 1.96 * r["X_sd"]
@@ -73,6 +84,7 @@ def main():
             float(np.sqrt(((r["X_map"] - X_true) ** 2).mean())), 4),
         "neg_logpost": r["neg_logpost"],
         "grad_norm": r["grad_norm"],
+        "precondition": r["precondition"],
         "lbfgs_iters": r["lbfgs_iters"],
         "converged": r["converged"],
         "hessian_spd": r["hessian_spd"],
@@ -87,7 +99,7 @@ def main():
         },
     }
     os.makedirs("results", exist_ok=True)
-    with open("results/lorenz1025_map.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
 

@@ -73,6 +73,28 @@ def test_map_estimate_bypasses_band_truncation():
     np.testing.assert_allclose(r["theta_map"], TRUE, rtol=0.05)
 
 
+def test_gn_and_prior_preconditioning_reach_the_same_map(fitted):
+    """precondition= is a pure linear coordinate change: both whitenings
+    must land on the SAME MAP (theta to <=1e-3 relative, matching Laplace
+    sds) — the GN factor only buys optimizer conditioning (VERDICT r4
+    task 7: 27,442 prior-whitened L-BFGS-B iterations at Lorenz N_I=1025
+    vs a few hundred GN-whitened)."""
+    model, _ = fitted
+    r_gn = model.map_estimate(sigma_sqs_fixed=0.005 ** 2)
+    r_pr = model.map_estimate(sigma_sqs_fixed=0.005 ** 2,
+                              precondition="prior")
+    assert r_gn["precondition"] == "gn" and r_pr["precondition"] == "prior"
+    np.testing.assert_allclose(r_gn["theta_map"], r_pr["theta_map"],
+                               rtol=1e-3)
+    np.testing.assert_allclose(r_gn["neg_logpost"], r_pr["neg_logpost"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(r_gn["X_map"], r_pr["X_map"], atol=1e-4)
+    # the Laplace pushforward agrees across coordinate systems too
+    np.testing.assert_allclose(r_gn["theta_sd"], r_pr["theta_sd"], rtol=0.02)
+    np.testing.assert_allclose(r_gn["X_sd"], r_pr["X_sd"], rtol=0.05,
+                               atol=1e-6)
+
+
 def test_laplace_draws_disperse_around_map(fitted):
     """laplace_draws must return natural-coordinate joint draws centered
     on the MAP with per-coordinate spread consistent with the Laplace
