@@ -606,6 +606,8 @@ class MAGI_v2:
         matmul_precision: str = "highest",
         mass_matrix: str = "diag",
         dense_shrinkage: float = 0.0,
+        mass_window: Optional[tuple] = None,
+        mass_window2: Optional[tuple] = None,
         sigma_sqs_fixed=None,
         map_warmstart_iters: int = 0,
         precond_refresh_steps: int = 0,
@@ -664,6 +666,12 @@ class MAGI_v2:
         (0..1) pulls the dense block's estimated correlations toward the
         diagonal — a robustness lever for tempered warmup's covariance
         misestimation at long trajectories (SamplerConfig.dense_shrinkage).
+        ``mass_window`` / ``mass_window2`` override the Welford window(s)
+        as (begin, end) fractions of burnin; a second window re-estimates
+        the metric from chains already mixing under the first window's
+        metric (Stan-style staged adaptation — the measured fix for the
+        tempered warmup's seed-fragile covariance tail, see
+        SamplerConfig.mass_window2_begin).
 
         init_states: optional dict of NATURAL-coordinate per-chain
         initial states — keys "X" ((num_chains, N_I, D) or (N_I, D)),
@@ -813,6 +821,18 @@ class MAGI_v2:
                 mass_matrix, sigma_sqs_fixed
             ),
             dense_shrinkage=dense_shrinkage,
+            **(
+                {}
+                if mass_window is None
+                else {"mass_window_begin": float(mass_window[0]),
+                      "mass_window_end": float(mass_window[1])}
+            ),
+            **(
+                {}
+                if mass_window2 is None
+                else {"mass_window2_begin": float(mass_window2[0]),
+                      "mass_window2_end": float(mass_window2[1])}
+            ),
             checkpoint_path=checkpoint_path,
             profile_timings=profile_timings,
             **(

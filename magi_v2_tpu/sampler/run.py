@@ -77,6 +77,22 @@ class SamplerConfig(NamedTuple):
     # transient (mean drift inflates Welford variance) has settled.
     mass_window_begin: float = 0.45
     mass_window_end: float = 0.7
+    # Optional SECOND Welford window (fractions of burnin; end <= begin
+    # disables — the default). Stan-style staged adaptation: the first
+    # window's metric is applied at mass_window_end, the chains re-mix
+    # under it, and a fresh estimate over [begin2, end2) REPLACES it
+    # (accumulators reset at each apply; dual averaging restarts around
+    # the current step size after each window, so end2 must leave room
+    # before adaptation_fraction * burnin for the final eps adaptation).
+    # Motivation (measured, results/seir_seed_sweep.json): the TEMPERED
+    # single-window warmup is seed-fragile at long trajectories — on
+    # seeds 4/8 the [0.45, 0.7) window's covariance estimate is degraded
+    # by slow pre-metric mixing and ESS_min lands 5-7x below typical
+    # even under 20% shrinkage. A second window measures a chain that
+    # already mixes under the first window's metric, breaking the
+    # bad-metric -> bad-estimate feedback.
+    mass_window2_begin: float = 0.0
+    mass_window2_end: float = 0.0
     # Dense inverse-mass block over the LAST k flat-state coordinates (the
     # (sigma_pre, theta_pre) tail; 0 = fully diagonal, the default). A
     # diagonal cannot rotate the correlated theta ridge that forces long
@@ -430,6 +446,26 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
     num_adapt = int(config.adaptation_fraction * config.num_burnin_steps)
     win_lo = int(config.mass_window_begin * config.num_burnin_steps)
     win_hi = int(config.mass_window_end * config.num_burnin_steps)
+    win2_lo = int(config.mass_window2_begin * config.num_burnin_steps)
+    win2_hi = int(config.mass_window2_end * config.num_burnin_steps)
+    two_windows = config.adapt_mass_matrix and win2_hi > win2_lo
+    if two_windows:
+        if win_hi <= win_lo:
+            raise ValueError(
+                "mass_window2 requires a valid first window "
+                f"(got [{win_lo}, {win_hi}))"
+            )
+        if win2_lo < win_hi:
+            raise ValueError(
+                f"mass_window2 [{win2_lo}, {win2_hi}) must start at or "
+                f"after mass_window_end ({win_hi})"
+            )
+        if win2_hi >= num_adapt:
+            raise ValueError(
+                f"mass_window2 must end (step {win2_hi}) before step-size "
+                f"adaptation does (step {num_adapt}): the step size has to "
+                "re-adapt to the re-estimated metric"
+            )
 
     def temp_at(step):
         if not config.use_annealing:
@@ -575,12 +611,12 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
                     )
                 return (wf, wf_tail)
 
-            welford = jax.lax.cond(
-                (step >= win_lo) & (step < win_hi),
-                add_batch,
-                lambda w: w,
-                welford,
-            )
+            in_window = (step >= win_lo) & (step < win_hi)
+            if two_windows:
+                in_window |= (step >= win2_lo) & (step < win2_hi)
+            welford = jax.lax.cond(in_window, add_batch,
+                                   lambda w: w, welford)
+
             # at window end: set mass from pooled variance, restart DA
             # shrinkage target around the current step size (Stan-style)
             def apply_mass(args):
@@ -595,12 +631,22 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
                         _welford_covariance(wf_tail, config.dense_shrinkage),
                     )
                 eps_now = jnp.exp(da.log_step)
+                # reset the accumulators: a second window (if configured)
+                # re-estimates from scratch under the just-applied metric
+                fresh = (
+                    _welford_init(dim, dtype),
+                    None if wf_tail is None
+                    else _welford_cov_init(config.dense_tail_size, dtype),
+                )
                 return (_da_init(eps_now, dtype)._replace(
                     mu=jnp.log(10.0 * eps_now)
-                ), welford, new_inv_mass)
+                ), fresh, new_inv_mass)
 
+            apply_now = step == win_hi
+            if two_windows:
+                apply_now |= step == win2_hi
             da, welford, inv_mass = jax.lax.cond(
-                step == win_hi,
+                apply_now,
                 apply_mass,
                 lambda args: args,
                 (da, welford, inv_mass),

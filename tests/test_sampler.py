@@ -221,3 +221,56 @@ def test_warmup_only_mass_measures_beta1_posterior():
     np.testing.assert_allclose(inv_mass, var, rtol=0.4)
     # and the frozen step size is adapted to the beta=1 geometry
     assert 0.1 < float(stats.step_size) < 2.0
+
+
+def test_two_window_mass_adaptation():
+    """Stan-style staged windows (SamplerConfig.mass_window2_*): the
+    second window re-estimates the metric from chains that already mix
+    under the first window's metric. On a badly scaled Gaussian the final
+    inv_mass must match the target variances — and come from the SECOND
+    window alone (accumulators reset at each apply), which this test
+    makes observable by making window 1 pathologically short/early so a
+    single-window run over it estimates garbage."""
+    var = np.array([1.0, 100.0])
+    cov_inv = jnp.diag(jnp.asarray(1.0 / var))
+    q0 = jnp.zeros((8, 2))
+    # window 1 is the FIRST 10 steps, when every chain still sits near the
+    # concentrated q0=0 init: its pooled estimate reflects the dispersal
+    # transient, not the target
+    one = SamplerConfig(num_results=200, num_burnin_steps=1000,
+                        use_annealing=False, adapt_mass_matrix=True,
+                        algorithm="hmc", hmc_num_leapfrogs=8,
+                        mass_window_begin=0.0, mass_window_end=0.01)
+    _, st1 = run_nuts_chains(
+        _gaussian_logp_grad(cov_inv), q0, jax.random.PRNGKey(21), one
+    )
+    two = one._replace(mass_window2_begin=0.4, mass_window2_end=0.7)
+    samples, st2 = run_nuts_chains(
+        _gaussian_logp_grad(cov_inv), q0, jax.random.PRNGKey(21), two
+    )
+    im1, im2 = np.asarray(st1.inv_mass), np.asarray(st2.inv_mass)
+    # the single (bad) window underestimates the wide coordinate badly;
+    # the second window fixes it
+    assert im1[1] < 0.5 * var[1]
+    np.testing.assert_allclose(im2, var, rtol=0.5)
+    flat = np.asarray(samples).reshape(-1, 2)
+    np.testing.assert_allclose(flat.var(axis=0), var, rtol=0.35)
+
+
+def test_two_window_validation():
+    import pytest
+
+    lp = _gaussian_logp_grad(jnp.eye(2))
+    q0 = jnp.zeros((2, 2))
+    overlapping = SamplerConfig(
+        num_results=10, num_burnin_steps=100, use_annealing=False,
+        mass_window2_begin=0.5, mass_window2_end=0.6,  # starts inside w1
+    )
+    with pytest.raises(ValueError, match="start at or after"):
+        run_nuts_chains(lp, q0, jax.random.PRNGKey(0), overlapping)
+    too_late = SamplerConfig(
+        num_results=10, num_burnin_steps=100, use_annealing=False,
+        mass_window2_begin=0.7, mass_window2_end=0.9,  # past adaptation end
+    )
+    with pytest.raises(ValueError, match="re-adapt"):
+        run_nuts_chains(lp, q0, jax.random.PRNGKey(0), too_late)
