@@ -263,6 +263,16 @@ def main():
         # (see the operating-point note); the true-posterior run below
         # overrides this back to 0.0
         dense_shrinkage=TEMPERED_SHRINKAGE,
+        # two-window staged mass adaptation, scales first (diag) then the
+        # dense correlations from chains already mixing under them: kills
+        # the 5-7x worst-seed ESS tail outright — 10-seed sweep ESS_min
+        # 120k-131k, worst/median 1.02x, div <= 0.011% (results/
+        # seir_seed_sweep_2win_diag1.json vs seir_seed_sweep.json's
+        # 13k-100k); the true-posterior run below keeps the single-window
+        # default (never fragile there)
+        mass_window=(0.25, 0.45),
+        mass_window2=(0.50, 0.72),
+        mass_window1_diag=True,
     )
 
     # compile-priming: >=50+50 steps shares the 50-transition dispatch-block
@@ -336,7 +346,9 @@ def main():
     # measured-optimal trajectory length; see the operating-point note)
     true_post = timed_run(3, anneal_mode="warmup_only",
                           hmc_num_leapfrogs=TRUE_POST_LEAPFROGS,
-                          dense_shrinkage=0.0)
+                          dense_shrinkage=0.0,
+                          mass_window=None, mass_window2=None,
+                          mass_window1_diag=False)
 
     # Direct microbench of the same fused eval: N back-to-back vmapped
     # logp+grad calls at the bench geometry (precond/dense mode, the exact

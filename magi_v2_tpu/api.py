@@ -608,6 +608,7 @@ class MAGI_v2:
         dense_shrinkage: float = 0.0,
         mass_window: Optional[tuple] = None,
         mass_window2: Optional[tuple] = None,
+        mass_window1_diag: bool = False,
         sigma_sqs_fixed=None,
         map_warmstart_iters: int = 0,
         precond_refresh_steps: int = 0,
@@ -833,6 +834,7 @@ class MAGI_v2:
                 else {"mass_window2_begin": float(mass_window2[0]),
                       "mass_window2_end": float(mass_window2[1])}
             ),
+            mass_window1_diag=mass_window1_diag,
             checkpoint_path=checkpoint_path,
             profile_timings=profile_timings,
             **(

@@ -93,6 +93,13 @@ class SamplerConfig(NamedTuple):
     # bad-metric -> bad-estimate feedback.
     mass_window2_begin: float = 0.0
     mass_window2_end: float = 0.0
+    # With two windows and a dense tail block: apply only the DIAGONAL
+    # (per-coordinate scales) at the first window's close, deferring the
+    # dense correlations to window 2 (Stan-like robust staging). A noisy
+    # first-window correlation estimate degrades the very mixing window 2
+    # measures — the 10-seed sweep's residual tail (seed 9: ESS_min 6.2k
+    # vs 114k-129k typical under dense-first two-window).
+    mass_window1_diag: bool = False
     # Dense inverse-mass block over the LAST k flat-state coordinates (the
     # (sigma_pre, theta_pre) tail; 0 = fully diagonal, the default). A
     # diagonal cannot rotate the correlated theta ridge that forces long
@@ -626,10 +633,14 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
                 if wf_tail is None:
                     new_inv_mass = var
                 else:
-                    new_inv_mass = mass_from_moments(
-                        var,
-                        _welford_covariance(wf_tail, config.dense_shrinkage),
-                    )
+                    cov = _welford_covariance(wf_tail,
+                                              config.dense_shrinkage)
+                    if two_windows and config.mass_window1_diag:
+                        # first window applies scales only; the dense
+                        # correlations wait for window 2's estimate
+                        cov = jnp.where(step == win_hi,
+                                        jnp.diag(jnp.diag(cov)), cov)
+                    new_inv_mass = mass_from_moments(var, cov)
                 eps_now = jnp.exp(da.log_step)
                 # reset the accumulators: a second window (if configured)
                 # re-estimates from scratch under the just-applied metric

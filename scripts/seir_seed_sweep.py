@@ -12,7 +12,13 @@ ESS_min / rhat_max / divergence rate / ESS/s.
 
 Acceptance: worst-seed rhat_max <= 1.05 across all 10 seeds.
 Writes results/seir_seed_sweep.json (merging argv re-runs).
-Usage: python scripts/seir_seed_sweep.py [first_seed last_seed]
+Usage: python scripts/seir_seed_sweep.py [first_seed last_seed] [--two-window]
+
+--two-window runs the same cell under staged mass adaptation
+(mass_window=(0.25, 0.45), mass_window2=(0.50, 0.72) — the round-5
+candidate fix for the 5-7x worst-seed ESS tail: the second window
+re-estimates the dense covariance from chains already mixing under the
+first window's metric) and writes results/seir_seed_sweep_2win.json.
 """
 
 import json
@@ -41,7 +47,13 @@ def main():
     from magi_v2_tpu.utils import summarize_chains
     from magi_v2_tpu.utils.data import load_seir_csv
 
-    lo, hi = (int(sys.argv[1]), int(sys.argv[2])) if len(sys.argv) > 2 else (0, 9)
+    two_win = "--two-window" in sys.argv
+    win1_diag = "--win1-diag" in sys.argv
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    lo, hi = (int(pos[0]), int(pos[1])) if len(pos) >= 2 else (0, 9)
+    win_kw = (dict(mass_window=(0.25, 0.45), mass_window2=(0.50, 0.72),
+                   mass_window1_diag=win1_diag)
+              if two_win else {})
 
     ts_obs, X_obs, _ = load_seir_csv(t_max=4.0, d_obs=20)
     cfg = MagiConfig().replace(dtype=jnp.float32)
@@ -57,6 +69,7 @@ def main():
             seed=seed, init_jitter=0.01, algorithm="hmc",
             hmc_num_leapfrogs=192, anneal_mode="reference",
             mass_matrix="dense", dense_shrinkage=0.2,
+            **win_kw,
         )
         wall = time.time() - t0
         s = summarize_chains(res["thetas_samps"], wall)
@@ -74,8 +87,11 @@ def main():
         out[f"seed{seed}"] = cell
         print(json.dumps({f"seed{seed}": cell}), flush=True)
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "..", "results", "seir_seed_sweep.json")
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "results",
+        ("seir_seed_sweep_2win_diag1.json" if win1_diag
+         else "seir_seed_sweep_2win.json") if two_win
+        else "seir_seed_sweep.json")
     if os.path.exists(path):
         with open(path) as fh:
             merged = json.load(fh)
@@ -87,7 +103,10 @@ def main():
     out["summary"] = {
         "config": ("tempered bench headline cell: 256x1000+1000 HMC L=192, "
                    "mass_matrix=dense, dense_shrinkage=0.2, "
-                   "anneal_mode=reference, f32 TPU"),
+                   "anneal_mode=reference, f32 TPU"
+                   + (", two-window mass adaptation (0.25-0.45, 0.50-0.72)"
+                      + (", window-1 diag-only" if win1_diag else "")
+                      if two_win else "")),
         "n_seeds": len(seeds),
         "worst_ess_min": min(out[k]["ess_min"] for k in seeds),
         "worst_rhat_max": max(out[k]["rhat_max"] for k in seeds),

@@ -258,3 +258,44 @@ def test_dense_shrinkage_end_to_end_zeroes_tail_correlation():
     tail = np.asarray(stats.tail_inv_mass)
     assert tail[0, 1] == 0.0 and tail[1, 0] == 0.0
     assert np.all(np.diag(tail) > 0.0)
+
+
+def test_two_window_diag_first_dense_tail():
+    """mass_window1_diag: with two windows and a dense tail, the FIRST
+    window applies per-coordinate scales only (robust) and the second
+    supplies the dense correlations — the staging that killed the
+    tempered bench's worst-seed ESS tail (results/
+    seir_seed_sweep_2win_diag1.json, all 10 seeds 120k-131k ESS_min).
+    On the rho=0.99 ridge the final tail block must still learn the
+    ridge (from window 2), and sampling must recover the covariance."""
+    rho = 0.99
+    cov = np.array([
+        [1.0, 0.0, 0.0],
+        [0.0, 1.0, rho],
+        [0.0, rho, 1.0],
+    ])
+    cov_inv = jnp.asarray(np.linalg.inv(cov), jnp.float32)
+    cfg = SamplerConfig(
+        num_results=1500,
+        num_burnin_steps=1000,
+        use_annealing=False,
+        algorithm="hmc",
+        hmc_num_leapfrogs=8,
+        dense_tail_size=2,
+        mass_window_begin=0.25, mass_window_end=0.45,
+        mass_window2_begin=0.50, mass_window2_end=0.72,
+        mass_window1_diag=True,
+    )
+    q0 = jnp.asarray(
+        np.random.default_rng(0).normal(size=(16, 3)), jnp.float32
+    )
+    samples, stats = run_nuts_chains(
+        _gaussian_logp_grad(cov_inv), q0, jax.random.PRNGKey(2), cfg
+    )
+    tail = np.asarray(stats.tail_inv_mass)
+    learned_rho = tail[0, 1] / np.sqrt(tail[0, 0] * tail[1, 1])
+    assert learned_rho > 0.9, learned_rho
+    flat = np.asarray(samples).reshape(-1, 3)
+    np.testing.assert_allclose(
+        np.cov(flat, rowvar=False), cov, atol=0.15
+    )
