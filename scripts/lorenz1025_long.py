@@ -108,6 +108,16 @@ def main():
                          "2^disc*(n_obs-1)+1. disc=3 with 257 obs gives the "
                          "N_I=2049 max-scale grid (halved h: 16x stiffer "
                          "h^-4 manifold, finer-h truncation regime)")
+    ap.add_argument("--map-warmstart", type=int, default=0,
+                    help="Adam steps of beta=1 MAP polish in the sampler's "
+                         "whitened coordinates before chains launch "
+                         "(predict(map_warmstart_iters=...)). The N_I=2049 "
+                         "failure mode: the heuristic init is far enough "
+                         "off-manifold that the f32 posterior surface at "
+                         "the init is numerically unresolvable (measured "
+                         "lp(q0) ~ +1.7e9 garbage at disc=3) and chains "
+                         "freeze; the polish walks back onto the manifold "
+                         "first")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--checkpoint", default="",
@@ -162,6 +172,7 @@ def main():
         num_chains=args.chains,
         verbose=True,
         seed=args.seed,
+        map_warmstart_iters=args.map_warmstart,
         init_jitter=0.05,
         storage=args.storage,
         reparam="precond",
@@ -196,7 +207,8 @@ def main():
         "config": (
             f"Lorenz N_I={model.mag_I}, {args.chains} chains, "
             f"{args.burnin}+{args.results}x{args.thin} HMC-L{args.leapfrogs}, "
-            f"{args.storage} GN (b={args.bandsize}), refresh={args.refresh} "
+            f"{args.storage} GN (b={args.bandsize}), "
+            f"warmstart={args.map_warmstart}, refresh={args.refresh} "
             f"restart={args.restart} scatter={args.scatter}, "
             f"{'untempered' if args.untempered else args.anneal_mode}"
             f"(floor={args.min_temp}), "

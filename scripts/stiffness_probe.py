@@ -32,7 +32,11 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
+    # x64 stays OFF globally, mirroring the TPU process environment: the
+    # library's setup runs under its own scoped enable_x64, and the theta
+    # initializer's Adam trajectory is dtype-sensitive at disc=3 (f32 env
+    # lands (9.02, 30.44, 3.15); a global-x64 env lands (-3.4, 35.9,
+    # -122.0) — BOTH far from truth, see the f32 row's lp at init).
     import jax.numpy as jnp
 
     from magi_v2_tpu import MAGI_v2, MagiConfig
@@ -47,12 +51,24 @@ def main():
         t_max=2.0, n_obs=257, noise_sd=0.5, substeps=50,
     )
 
+    def pre_init(vals, lower):
+        # predict()'s unconstrained init (api.py): inverse-softplus where
+        # above the bound, else -5.0 (NEVER softplus_inverse of a negative
+        # value — at N_I=2049 the f64-config gradient-matching init lands
+        # at thetas (-3.4, 35.9, -122.0) and the naive transform is NaN)
+        out = np.full_like(np.asarray(vals, np.float64), -5.0)
+        above = np.asarray(vals) > lower
+        out[above] = np.asarray(
+            softplus_inverse(jnp.asarray(np.asarray(vals)[above]
+                                         - lower[above])))
+        return out
+
     def lam_max(mode_lp, q0, beta, iters=120, seed=0):
         """Power iteration on -H of lp at q0 (forward-over-reverse HVP)."""
         g = lambda q: mode_lp(q, jnp.asarray(beta, q0.dtype))[1]
         hvp = jax.jit(lambda v: -jax.jvp(g, (q0,), (v,))[1])
         rng = np.random.default_rng(seed)
-        v = jnp.asarray(rng.standard_normal(q0.shape))
+        v = jnp.asarray(rng.standard_normal(q0.shape), q0.dtype)
         v = v / jnp.linalg.norm(v)
         lam = 0.0
         for _ in range(iters):
@@ -64,7 +80,9 @@ def main():
 
     results = []
     for disc, b in [(2, 100), (3, 100), (3, 200), (3, 400)]:
-        cfg = MagiConfig()  # f64 end to end on CPU
+        # mirror scripts/lorenz1025_long.py: f32 sampling dtype (setup
+        # still runs f64 on CPU); the TPU failure reproduces in f32 on CPU
+        cfg = MagiConfig().replace(dtype=jnp.float32)
         model = MAGI_v2(D_thetas=3, ts_obs=ts_obs, X_obs=X_obs,
                         bandsize=b, f_vec=lorenz_f_vec, config=cfg)
         t0 = time.time()
@@ -76,15 +94,18 @@ def main():
                 "precond", "hybrid", dtype, sigma_sqs_fixed=0.25,
             )
         )
-        theta_pre0 = np.asarray(
-            softplus_inverse(jnp.asarray(model.thetas_init))
-        )
+        theta_pre0 = pre_init(model.thetas_init,
+                              np.zeros_like(model.thetas_init))
         q0 = jnp.asarray(flatten_state(
             mode.X0, jnp.asarray(_pre_fix, dtype),
             jnp.asarray(theta_pre0, dtype),
         ))
         row = {"N_I": int(model.mag_I), "bandsize": b,
                "dim": int(q0.shape[0]), "setup_s": round(setup_s, 1),
+               "theta_init": [round(float(v), 3)
+                              for v in model.thetas_init],
+               "lp_q0_beta0.3": round(float(
+                   mode.logp_grad(q0, jnp.asarray(0.3, dtype))[0]), 2),
                "band_truncation": {
                    k: round(float(v), 4)
                    for k, v in getattr(model, "band_truncation", {}).items()
