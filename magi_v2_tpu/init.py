@@ -64,6 +64,15 @@ def fit_theta_fully_observed(
 
     Minimizes sum_d ||f_d(I, Xhat, theta) - m_d (x_d - mu_d)||^2_{K_d^{-1}}
     starting from theta = ones (magi_v2.py:136).
+
+    Deviation by intent (same rationale as the partially-observed branch):
+    theta is optimized through softplus, matching the sampler's theta > 0
+    support. The reference's raw-theta objective is unbounded below in
+    sign-flipped directions; measured on Lorenz N_I=2049 (disc=3, where
+    K^{-1} ~ h^-4 weights the interpolant's high-frequency error 16x
+    harder), an x64 Adam trajectory on the raw objective diverges to
+    theta = (-3.4, 35.9, -122.0) — a basin the sampler cannot even
+    represent.
     """
     I = jnp.asarray(np.asarray(I))
     Xhat = jnp.asarray(np.asarray(Xhat_init))
@@ -75,14 +84,18 @@ def fit_theta_fully_observed(
     X_cent = (Xhat - mu[None, :]).T                       # (D, N)
     m_prod = jnp.einsum("dnm,dm->dn", m_ds, X_cent)       # precomputed once
 
-    def loss(thetas):
-        f_vals = f_vec(I, Xhat, thetas).T                 # (D, N)
+    def loss(th_pre):
+        f_vals = f_vec(I, Xhat, jax.nn.softplus(th_pre)).T  # (D, N)
         resid = f_vals - m_prod
         return jnp.einsum("dn,dnm,dm->", resid, K_invs, resid)
 
-    theta0 = jnp.ones((D_thetas,), dtype)
-    thetas, losses = _adam_scan(loss, theta0, learning_rate, num_iters)
-    return np.asarray(thetas), np.asarray(losses)
+    # softplus^{-1}(1): starts at theta = ones like the reference
+    theta0 = jnp.full((D_thetas,), float(np.log(np.expm1(1.0))), dtype)
+    th_pre, losses = _adam_scan(loss, theta0, learning_rate, num_iters)
+    return (
+        np.asarray(jax.nn.softplus(th_pre)),
+        np.asarray(losses),
+    )
 
 
 def fit_unobserved_gradient_matching(
