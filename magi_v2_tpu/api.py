@@ -361,6 +361,7 @@ class MAGI_v2:
         dtype,
         sigma_sqs_LB=None,
         sigma_sqs_fixed=None,
+        gn_anchor=None,
     ):
         """Everything predict() needs before chains launch: sigma-bound
         bookkeeping, the f64 factored precisions, the (dense or
@@ -481,9 +482,34 @@ class MAGI_v2:
 
         if sigma_sqs_fixed is not None:
             _pre_fix = np.log(np.expm1(sig_fix64 - sigma_sqs_LB))
+        anchor = None
+        if gn_anchor is not None:
+            unknown = set(gn_anchor) - {"X", "thetas"}
+            if unknown:
+                raise ValueError(
+                    f"gn_anchor has unknown keys {sorted(unknown)}; "
+                    "expected {'X', 'thetas'}"
+                )
+            aX = np.asarray(gn_anchor.get("X", self.Xhat_init), np.float64)
+            ath = np.asarray(
+                gn_anchor.get("thetas", self.thetas_init), np.float64
+            )
+            if aX.shape != (self.mag_I, self.D):
+                raise ValueError(
+                    f"gn_anchor['X'] has shape {aX.shape}; expected "
+                    f"{(self.mag_I, self.D)}"
+                )
+            if ath.shape != (self.D_thetas,):
+                raise ValueError(
+                    f"gn_anchor['thetas'] has shape {ath.shape}; expected "
+                    f"{(self.D_thetas,)}"
+                )
+            if np.any(np.isnan(aX)) or np.any(np.isnan(ath)):
+                raise ValueError("gn_anchor contains NaNs")
+            anchor = (aX, ath)
         mode = build_sampling_mode(
             self, data, reparam, storage, dtype, R64, S64,
-            sig_pre_fix=_pre_fix,
+            sig_pre_fix=_pre_fix, anchor=anchor,
         )
         return mode, data, sigma_sqs_LB, sig_fix64, _pre_fix
 
@@ -618,6 +644,7 @@ class MAGI_v2:
         profile_timings: bool = False,
         stage_above_bytes: Optional[int] = None,
         init_states: Optional[dict] = None,
+        gn_anchor: Optional[dict] = None,
     ):
         """Sample the posterior with annealed NUTS. Reference
         magi_v2.py:286-425; extensions: num_chains (vmapped chains),
@@ -686,6 +713,20 @@ class MAGI_v2:
         NOT re-jittered by init_jitter; the checkpoint fingerprint hashes
         the resulting state, so changed inits never silently resume.
 
+        gn_anchor: optional dict with keys "X" ((N_I, D)) and/or
+        "thetas" ((D_thetas,)) — NATURAL-coordinate point at which the
+        banded/hybrid GN whitening factor and the relative-energy zero
+        point are anchored, replacing the default (Xhat_init,
+        thetas_init). The posterior is unchanged (pure coordinate /
+        zero-point choice), but float32 accuracy at dense grids is not:
+        anchoring at ``map_estimate()``'s f64 MAP shrinks the anchor
+        residuals the f32 energy noise couples to by ~1e3x and is the
+        measured fix for the N_I=2049 eps collapse (off-anchor f32
+        noise, results/stiffness_probe.json). Combine with
+        ``init_states`` from ``map_estimate(laplace_draws=num_chains)``
+        so chains START inside the anchor's accurate neighborhood.
+        Banded/hybrid storage only.
+
         checkpoint_path: directory for mid-run crash recovery ("" = off).
         Every dispatch block's sampler state + draws are persisted
         atomically; re-calling predict() with identical arguments resumes
@@ -709,6 +750,7 @@ class MAGI_v2:
             self._build_sampling_setup(
                 reparam, storage, dtype,
                 sigma_sqs_LB=sigma_sqs_LB, sigma_sqs_fixed=sigma_sqs_fixed,
+                gn_anchor=gn_anchor,
             )
         )
         from magi_v2_tpu.sampler.modes import (

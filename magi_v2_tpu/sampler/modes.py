@@ -212,12 +212,31 @@ def build_sampling_mode(
     R64,
     S64,
     sig_pre_fix=None,
+    anchor=None,
 ) -> SamplingMode:
     """Construct the SamplingMode for a fitted MAGI_v2 model.
 
     ``data`` is the (dense or banded) PosteriorData predict() built;
     ``R64``/``S64`` the f64 clamped sqrt factors of C^{-1}/K^{-1};
     ``sig_pre_fix`` the pre-space pinned sigma values (or None).
+
+    ``anchor``: optional ``(X (N_I, D), thetas (D_thetas,))`` natural-
+    coordinate point at which the banded/hybrid GN factor AND the
+    relative-energy RefPoint are built, instead of the default
+    ``(Xhat_init, thetas_init)``. A pure coordinate/zero-point change —
+    the posterior is identical — but float32 accuracy at dense grids is
+    NOT: the relative-energy form's f32 noise couples to the anchor's own
+    residual magnitudes (|a0| = |C^{-1/2}(x0-mu)|, |s0|), which are ~1e3x
+    smaller at the f64 MAP than at the spline init (the init's GP-prior
+    quadratic is ~1e7 while the MAP's is ~1e3), and to the chains'
+    whitened distance from the anchor, which stays bounded when chains
+    START at the anchor's Laplace draws. Measured failure this fixes:
+    Lorenz N_I=2049 (h^-4 operator scale ~1e12) with the init anchor is
+    evaluation noise beyond the anchor's neighborhood — the tempered
+    warmup drives chains there and eps collapses (frozen chains,
+    results/lorenz2049_hybrid_probe.json; diagnosis
+    results/stiffness_probe.json). Standard use:
+    ``predict(gn_anchor=...)`` with ``map_estimate()``'s MAP.
     """
     itemsize = np.dtype(dtype).itemsize
     ND = model.mag_I * model.D
@@ -230,13 +249,27 @@ def build_sampling_mode(
             )
         return mode
 
+    if anchor is not None and not (
+        reparam == "precond" and storage in ("banded", "hybrid")
+    ):
+        raise ValueError(
+            "anchor= (predict gn_anchor=) is supported for the banded-GN "
+            "modes only (reparam='precond', storage='banded'/'hybrid') — "
+            f"got reparam={reparam!r}, storage={storage!r}"
+        )
+
     if reparam == "precond" and storage in ("banded", "hybrid"):
         from magi_v2_tpu.sampler.precond import unwhiten_Z_banded
 
         exact = storage == "hybrid"
+        anchor_X0, anchor_th0 = (
+            (model.Xhat_init, model.thetas_init) if anchor is None
+            else (np.asarray(anchor[0], np.float64),
+                  np.asarray(anchor[1], np.float64))
+        )
         logp_grad, gn = _build_banded_gn_parts(
-            model, data, dtype, R64, S64, model.Xhat_init,
-            model.thetas_init, exact=exact,
+            model, data, dtype, R64, S64, anchor_X0,
+            anchor_th0, exact=exact,
         )
         nb, nw, T = (
             gn["U_blocks"].shape[0],

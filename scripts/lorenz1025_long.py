@@ -108,6 +108,24 @@ def main():
                          "2^disc*(n_obs-1)+1. disc=3 with 257 obs gives the "
                          "N_I=2049 max-scale grid (halved h: 16x stiffer "
                          "h^-4 manifold, finer-h truncation regime)")
+    ap.add_argument("--map-anchor", action="store_true",
+                    help="anchor the GN whitening factor AND the relative-"
+                         "energy zero point at the f64 MAP "
+                         "(map_estimate, exact operators) instead of the "
+                         "spline init, and start chains there. The round-5 "
+                         "fix for the N_I=2049 eps collapse: beyond the "
+                         "init anchor's neighborhood the f32 surface at "
+                         "h^-4 ~1e12 operator scale is evaluation noise "
+                         "(results/stiffness_probe.json); the MAP anchor's "
+                         "residual magnitudes are ~1e3x smaller and chains "
+                         "stay in the resolvable neighborhood. The MAP is "
+                         "cached in results/ keyed on (N_I, bandsize, "
+                         "sigma) so TPU-run retries skip the CPU solve")
+    ap.add_argument("--anchor-scatter", type=float, default=0.1,
+                    help="with --map-anchor: per-coordinate chain scatter "
+                         "around the whitened anchor (init_jitter acts in "
+                         "the GN-whitened coordinates, so this is a scaled "
+                         "GN-Laplace dispersal)")
     ap.add_argument("--map-warmstart", type=int, default=0,
                     help="Adam steps of beta=1 MAP polish in the sampler's "
                          "whitened coordinates before chains launch "
@@ -165,6 +183,39 @@ def main():
     print(f"initial_fit: {setup_s:.1f}s  N_I={model.mag_I}  "
           f"theta_init={model.thetas_init}", flush=True)
 
+    gn_anchor = None
+    init_states = None
+    init_jitter = 0.05
+    map_wall_s = 0.0
+    if args.map_anchor:
+        from magi_v2_tpu.map_laplace import map_estimate
+
+        cache = (f"results/lorenz_map_cache_N{model.mag_I}"
+                 f"_b{args.bandsize}_s{args.sigma_fixed:g}.npz")
+        if os.path.exists(cache):
+            with np.load(cache) as z:
+                X_map, theta_map = z["X_map"], z["theta_map"]
+            print(f"map anchor: loaded {cache}", flush=True)
+        else:
+            t0 = time.time()
+            mp = map_estimate(
+                model,
+                sigma_sqs_fixed=(args.sigma_fixed or None),
+                laplace=False, verbose=True,
+            )
+            map_wall_s = time.time() - t0
+            if not mp["converged"]:
+                print(f"WARNING: MAP not converged "
+                      f"(|g|={mp['grad_norm']:.3g})", flush=True)
+            X_map, theta_map = mp["X_map"], mp["theta_map"]
+            os.makedirs("results", exist_ok=True)
+            np.savez_compressed(cache, X_map=X_map, theta_map=theta_map)
+            print(f"map anchor: theta_map={np.round(theta_map, 4)} "
+                  f"in {map_wall_s:.0f}s -> {cache}", flush=True)
+        gn_anchor = {"X": X_map, "thetas": theta_map}
+        init_states = {"thetas": theta_map}
+        init_jitter = args.anchor_scatter
+
     t0 = time.time()
     res = model.predict(
         num_results=args.results,
@@ -173,7 +224,9 @@ def main():
         verbose=True,
         seed=args.seed,
         map_warmstart_iters=args.map_warmstart,
-        init_jitter=0.05,
+        init_jitter=init_jitter,
+        gn_anchor=gn_anchor,
+        init_states=init_states,
         storage=args.storage,
         reparam="precond",
         algorithm="hmc",
@@ -208,6 +261,7 @@ def main():
             f"Lorenz N_I={model.mag_I}, {args.chains} chains, "
             f"{args.burnin}+{args.results}x{args.thin} HMC-L{args.leapfrogs}, "
             f"{args.storage} GN (b={args.bandsize}), "
+            f"anchor={'map scatter=%g' % args.anchor_scatter if args.map_anchor else 'init'}, "
             f"warmstart={args.map_warmstart}, refresh={args.refresh} "
             f"restart={args.restart} scatter={args.scatter}, "
             f"{'untempered' if args.untempered else args.anneal_mode}"
@@ -233,6 +287,7 @@ def main():
         "traj_rmse": round(rmse, 4),
         "sampling_wall_s": round(wall, 1),
         "setup_s": round(setup_s, 1),
+        "map_anchor_wall_s": round(map_wall_s, 1),
         "device": str(jax.devices()[0].device_kind),
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

@@ -156,6 +156,90 @@ def test_hybrid_predict_end_to_end(lorenz_model):
     assert np.all(np.isfinite(X))
 
 
+def test_gn_anchor_invariance(lorenz_model):
+    """gn_anchor is a pure coordinate/zero-point change: log-density
+    differences at the SAME natural points agree between the default
+    (init) anchor and a perturbed anchor (sampler/modes.py
+    build_sampling_mode anchor=)."""
+    model = lorenz_model
+    rng = np.random.default_rng(7)
+    aX = np.asarray(model.Xhat_init, np.float64) + 0.1 * rng.standard_normal(
+        model.Xhat_init.shape
+    )
+    ath = np.asarray(model.thetas_init, np.float64) * 1.2
+    mode_0, _ = _mode_and_data(model, "hybrid")
+    mode_a, *_ = model._build_sampling_setup(
+        "precond", "hybrid", jnp.float64,
+        gn_anchor={"X": aX, "thetas": ath},
+    )
+    U_0, U_a = mode_0.factor[0], mode_a.factor[0]
+
+    vals_0, vals_a = [], []
+    for _ in range(3):
+        X = jnp.asarray(
+            np.asarray(model.Xhat_init)
+            + 0.05 * rng.standard_normal(model.Xhat_init.shape)
+        )
+        s = jnp.asarray(rng.standard_normal(model.D))
+        t = jnp.asarray(rng.standard_normal(model.D_thetas))
+        q_0 = flatten_state(
+            whiten_X_banded(X, jnp.asarray(model.mu_ds), U_0), s, t
+        )
+        q_a = flatten_state(
+            whiten_X_banded(X, jnp.asarray(model.mu_ds), U_a), s, t
+        )
+        v_0, g_0 = mode_0.logp_grad(q_0, jnp.asarray(0.8))
+        v_a, g_a = mode_a.logp_grad(q_a, jnp.asarray(0.8))
+        assert np.isfinite(float(v_0)) and np.isfinite(float(v_a))
+        assert np.all(np.isfinite(g_a))
+        vals_0.append(float(v_0))
+        vals_a.append(float(v_a))
+    np.testing.assert_allclose(
+        np.diff(vals_0), np.diff(vals_a), rtol=1e-6, atol=1e-8
+    )
+    # the anchored mode's X0 is the whitened ANCHOR, not the init
+    z_anchor = whiten_X_banded(
+        jnp.asarray(aX), jnp.asarray(model.mu_ds), U_a
+    )
+    np.testing.assert_allclose(
+        np.asarray(mode_a.X0), np.asarray(z_anchor), rtol=1e-9, atol=1e-9
+    )
+
+
+def test_gn_anchor_predict_end_to_end(lorenz_model):
+    model = lorenz_model
+    rng = np.random.default_rng(11)
+    aX = np.asarray(model.Xhat_init, np.float64) + 0.05 * rng.standard_normal(
+        model.Xhat_init.shape
+    )
+    res = model.predict(
+        num_results=10, num_burnin_steps=10, num_chains=2, seed=0,
+        init_jitter=0.01, algorithm="hmc", hmc_num_leapfrogs=8,
+        storage="hybrid", reparam="precond",
+        gn_anchor={"X": aX, "thetas": np.asarray(model.thetas_init)},
+    )
+    assert np.all(np.isfinite(np.asarray(res["thetas_samps"])))
+    assert np.all(np.isfinite(np.asarray(res["X_samps"])))
+
+
+def test_gn_anchor_validation(lorenz_model):
+    model = lorenz_model
+    with pytest.raises(ValueError, match="unknown keys"):
+        model._build_sampling_setup(
+            "precond", "hybrid", jnp.float64, gn_anchor={"bogus": 1}
+        )
+    with pytest.raises(ValueError, match="shape"):
+        model._build_sampling_setup(
+            "precond", "hybrid", jnp.float64,
+            gn_anchor={"X": np.zeros((3, 3))},
+        )
+    with pytest.raises(ValueError, match="banded-GN"):
+        model._build_sampling_setup(
+            "precond", "dense", jnp.float64,
+            gn_anchor={"thetas": np.asarray(model.thetas_init)},
+        )
+
+
 def test_exact_operators_cache(lorenz_model):
     model = lorenz_model
     ops1 = model._exact_operators()
