@@ -204,16 +204,19 @@ CITED = {
                  "the map_estimate() Laplace band covers truth at 1.0"),
     },
     "lorenz1025": {
-        "cited_from": "results/lorenz1025_hybrid_r4c.json",
+        "cited_from": "results/lorenz1025_hybrid_f03_long_r5.json",
         "config": ("Lorenz N_I=1025, storage='hybrid' accurate recipe "
                    "(banded-GN whitening, exact dense operators, tempered "
-                   "floor 0.15), 128 x 6000+4000 thin 2"),
+                   "floor 0.3), 128 x 6000+4000 thin 2"),
         "traj_coverage_95": 1.0,
-        "theta_rel_err_pct": [-1.35, 0.01, 0.09],
-        "rhat_max": 1.0364,
-        "note": ("the round-3 banded recipe's theta ~10% low + coverage "
-                 "0.1375 (results/lorenz1025_r3j.json) was adjudicated as "
-                 "bandsize-100 operator truncation "
+        "theta_rel_err_pct": [-0.90, 0.01, 0.15],
+        "rhat_max": 1.0473,
+        "note": ("ALL theta inside the 1% bar (round-5 floor-0.3 run; the "
+                 "floor-0.15 r4c run sat at -1.35% on theta_0 and the "
+                 "offset is floor-monotone toward the exact beta=1 MAP's "
+                 "+0.55%). The round-3 banded recipe's theta ~10% low + "
+                 "coverage 0.1375 (results/lorenz1025_r3j.json) was "
+                 "adjudicated as bandsize-100 operator truncation "
                  "(results/lorenz_joint_map_probe.json); storage='hybrid' "
                  "removes it"),
     },
