@@ -413,6 +413,10 @@ def _map_estimate_impl(model, sigma_sqs_fixed, adam_steps, adam_lr,
         H_inv = (V / w_clip[None, :]) @ V.T
         th_sl = slice(N * D, N * D + D_th)
         out["theta_sd"] = np.sqrt(np.diag(H_inv[th_sl, th_sl]))
+        # full theta Laplace covariance (natural coordinates): the ridge
+        # detector — e.g. protein transduction's compensating (k2, k3)
+        # direction and the (V, Km) MM ridge show up as |corr| ~ 1 here
+        out["theta_cov"] = H_inv[th_sl, th_sl]
         if gn:
             # x_flat = mu_flat + T w (T = U^{-1} mixes components), so
             # var(x_flat) = diag(T Hww T')

@@ -188,6 +188,24 @@ def run_config(name):
 
 
 CITED = {
+    "protein": {
+        "cited_from": "results/protein_probe.json",
+        "config": ("protein transduction (V&G 2008 model 1), 5 states "
+                   "observed, n_obs=61 uniform on [0,60], noise 0.01, "
+                   "N_I=121; MAP+Laplace identification probe (CPU f64 "
+                   "exact operators) + HMC dense-metric sampled check"),
+        "theta_map_z_vs_truth": [-0.09, -8.64, -6.37, -0.67, 0.61, 0.73],
+        "note": ("the classic hard benchmark: k1/k4 sharp (MAP at truth); "
+                 "(V, Km) ride the certified Michaelis-Menten ridge "
+                 "(Laplace corr 0.991, z < 1 with wide sds — only the "
+                 "near-linear slope V/Km is informed); (k2, k3) carry a "
+                 "correlated POSTERIOR-INTRINSIC offset (corr 0.758 — "
+                 "the S*R/S_R balance admits a compensating direction), "
+                 "i.e. the MAGI posterior's own mode sits there and the "
+                 "sampler reports it faithfully — same adjudication class "
+                 "as the SEIR/SIRW R offsets. The sampled posterior "
+                 "agrees with the MAP on every sharp component"),
+    },
     "hes1": {
         "cited_from": "results/hes1_laplace_r4.json",
         "config": ("Hes1 log-scale, H unobserved, 16 x 3000+8000 NUTS, "
