@@ -645,6 +645,8 @@ class MAGI_v2:
         stage_above_bytes: Optional[int] = None,
         init_states: Optional[dict] = None,
         gn_anchor: Optional[dict] = None,
+        pt_betas: Optional[tuple] = None,
+        pt_swap_every: int = 1,
     ):
         """Sample the posterior with annealed NUTS. Reference
         magi_v2.py:286-425; extensions: num_chains (vmapped chains),
@@ -733,6 +735,25 @@ class MAGI_v2:
         bit-identically from the last completed block (the checkpoint is
         fingerprinted against the run configuration). Clear the directory
         to start fresh.
+
+        pt_betas: parallel tempering (replica exchange) over the sampling
+        phase — a strictly-decreasing temperature ladder starting at 1.0,
+        e.g. ``(1.0, 0.62, 0.38, 0.24)``. num_chains must divide by the
+        ladder length R; chains are split rung-major (M = num_chains/R
+        per rung), warmup runs entirely at beta=1 (shared adaptation),
+        and during sampling rung r targets ``beta_r * log_posterior``
+        at step size ``eps * beta_r**-0.5``, with exact Metropolis state
+        exchanges between adjacent rungs every ``pt_swap_every``
+        transitions (even-odd alternation). ONLY the beta=1 rung is the
+        posterior sample: the returned ``*_samps`` carry M (not
+        num_chains) chains, and ``kernel_results["pt_swap_accept"]``
+        reports the per-pair swap acceptance (tune the ladder spacing
+        toward ~0.2-0.6). The sampler-side treatment of multimodal
+        posteriors (Hes1 unobserved-H's coupled/decoupled modes,
+        DEVIATIONS #23): hot rungs cross the energy barrier and swaps
+        propagate mode visits into the beta=1 draws. Requires a fixed
+        beta=1 sampling target (use_annealing=False or
+        anneal_mode='warmup_only').
         """
         cfg = self.config
         assert not np.any(np.isnan(self.Xhat_init)), (
@@ -877,6 +898,8 @@ class MAGI_v2:
                       "mass_window2_end": float(mass_window2[1])}
             ),
             mass_window1_diag=mass_window1_diag,
+            pt_betas=tuple(pt_betas) if pt_betas else (),
+            pt_swap_every=pt_swap_every,
             checkpoint_path=checkpoint_path,
             profile_timings=profile_timings,
             **(
@@ -919,6 +942,24 @@ class MAGI_v2:
         sampler_s = time.time() - start
         if verbose:
             print(f"Finished sampling in {minutes} minutes.")
+
+        if pt_betas and len(pt_betas) > 1:
+            # only the beta=1 rung (rung-major: the first M chains) is a
+            # draw from the posterior; hot rungs exist to ferry mode
+            # crossings down the ladder. Per-chain stats sliced to match.
+            num_chains = num_chains // len(pt_betas)
+            samples = samples[:, :num_chains]
+            stats = stats._replace(
+                accept_probs=stats.accept_probs[:, :num_chains],
+                num_leapfrogs=stats.num_leapfrogs[:, :num_chains],
+                divergences=stats.divergences[:, :num_chains],
+                depths=stats.depths[:, :num_chains],
+            )
+            if verbose and stats.pt_swap_accept is not None:
+                print(
+                    "[pt] swap acceptance per adjacent pair: "
+                    f"{np.round(np.asarray(stats.pt_swap_accept), 3)}"
+                )
 
         t_post0 = time.time()
         X_samps, sigma_pre_samps, theta_pre_samps = unflatten_samples(
@@ -1000,6 +1041,10 @@ class MAGI_v2:
                 "num_leapfrogs": np.asarray(stats.num_leapfrogs),
                 "divergences": np.asarray(stats.divergences),
                 "depths": np.asarray(stats.depths),
+                **(
+                    {"pt_swap_accept": np.asarray(stats.pt_swap_accept)}
+                    if stats.pt_swap_accept is not None else {}
+                ),
             },
             # raw flat draws (reference parity, magi_v2.py:421); omitted
             # above 1 GB — X/sigma/theta samples already carry everything;

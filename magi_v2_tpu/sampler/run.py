@@ -142,6 +142,27 @@ class SamplerConfig(NamedTuple):
     # (3 passes). bf16 default ("default") collapses NUTS acceptance — see
     # run_nuts_chains docstring.
     matmul_precision: str = "highest"
+    # Parallel tempering (replica exchange) over the SAMPLING phase: a
+    # strictly-decreasing ladder starting at 1.0, e.g. (1.0, 0.7, 0.5,
+    # 0.35); () disables. num_chains must divide by the ladder length R:
+    # chains are rung-major — chains [r*M, (r+1)*M) run at beta=pt_betas[r]
+    # (M = C/R) and every pt_swap_every transitions adjacent rungs propose
+    # state exchanges (even-odd alternation; exact Metropolis rule — the
+    # target at beta is lp_beta = beta * lp, posterior.py:374, so
+    # log alpha = (beta_i - beta_j) * (lp(q_j) - lp(q_i))). WARMUP runs
+    # entirely at beta=1 for all chains (adaptation measures the real
+    # target); during sampling each rung's step size is eps * beta^-1/2
+    # (the tempered curvature scales ~beta: whitened lam_max measured
+    # exactly proportional between beta 0.3 and 1.0,
+    # results/map_anchor_probe_1025.json). Only the beta=1 rung's draws
+    # are the posterior sample — the caller (api.predict) slices chains
+    # [0, M). The hot rungs cross energy barriers the cold chains cannot
+    # (the Hes1 unobserved-H posterior's coupled/decoupled modes,
+    # DEVIATIONS #23); swaps propagate those crossings down the ladder.
+    # Incompatible with anneal_mode='reference' (sampling must target a
+    # fixed beta=1 posterior for the ladder to be exact).
+    pt_betas: tuple = ()
+    pt_swap_every: int = 1
     # Directory for mid-run checkpoint/resume ("" = off). Requires
     # dispatch blocking conceptually but works regardless: at every block
     # boundary the carry is written atomically to <dir>/state.npz and each
@@ -417,6 +438,8 @@ class ChainStats(NamedTuple):
     divergences: jax.Array        # (num_results, C) bool
     depths: jax.Array             # (num_results, C)
     tail_inv_mass: jax.Array | None = None  # (k, k) dense tail block
+    # (R-1,) per-adjacent-rung-pair swap acceptance rates (PT runs only)
+    pt_swap_accept: jax.Array | None = None
     # host wall-clock phase decomposition (profile_timings=True only):
     # eps_init_s, warmup_s, sample_dispatch_s, sample_first_dispatch_s
     # (includes trace+compile of the block executable), sample_stage_s,
@@ -449,6 +472,34 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
     C, dim = q0.shape
     dtype = q0.dtype
     cfg = NutsConfig(config.max_tree_depth, config.max_energy_diff)
+
+    pt_R = len(config.pt_betas)
+    pt = pt_R > 1
+    if pt:
+        pt_b = tuple(float(b) for b in config.pt_betas)
+        if abs(pt_b[0] - 1.0) > 1e-12:
+            raise ValueError(f"pt_betas must start at 1.0, got {pt_b}")
+        if any(b2 >= b1 for b1, b2 in zip(pt_b, pt_b[1:])) or pt_b[-1] <= 0:
+            raise ValueError(
+                f"pt_betas must be strictly decreasing and positive: {pt_b}"
+            )
+        if C % pt_R:
+            raise ValueError(
+                f"num chains ({C}) must divide by the PT ladder length "
+                f"({pt_R})"
+            )
+        if config.use_annealing and config.anneal_mode == "reference":
+            raise ValueError(
+                "pt_betas requires a fixed beta=1 sampling target: use "
+                "use_annealing=False or anneal_mode='warmup_only' (the "
+                "'reference' schedule tempers the sampling phase itself)"
+            )
+        if config.pt_swap_every < 1:
+            raise ValueError("pt_swap_every must be >= 1")
+        pt_M = C // pt_R
+        # per-chain rung temperature and eps stability scale (rung-major)
+        pt_betas_c = jnp.repeat(jnp.asarray(pt_b, dtype), pt_M)
+        pt_eps_scale_c = pt_betas_c ** -0.5
 
     num_adapt = int(config.adaptation_fraction * config.num_burnin_steps)
     win_lo = int(config.mass_window_begin * config.num_burnin_steps)
@@ -524,6 +575,73 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
             )(keys, qs)
     else:
         raise ValueError(f"unknown algorithm {config.algorithm!r}")
+
+    if pt:
+        # sampling-phase PT transition: per-chain rung beta + scaled eps.
+        # A separate function (not a per-chain-beta generalization of
+        # step_chains) so the non-PT path's jitted graphs stay untouched.
+        if config.algorithm == "hmc":
+            def step_chains_pt(keys, qs, eps, inv_mass):
+                if config.hmc_jitter:
+                    u = jax.random.uniform(jax.random.fold_in(keys[0], 1))
+                    L = jnp.maximum(
+                        1,
+                        jnp.ceil(
+                            u * config.hmc_num_leapfrogs
+                        ).astype(jnp.int32),
+                    )
+                else:
+                    L = jnp.asarray(config.hmc_num_leapfrogs, jnp.int32)
+                return jax.vmap(
+                    lambda k, q, b, s: _hmc(
+                        lambda r: tempered_logp_grad(r, b),
+                        k, q, eps * s, inv_mass, L,
+                    )
+                )(keys, qs, pt_betas_c, pt_eps_scale_c)
+        else:
+            def step_chains_pt(keys, qs, eps, inv_mass):
+                return jax.vmap(
+                    lambda k, q, b, s: nuts_step(
+                        lambda r: tempered_logp_grad(r, b),
+                        k, q, eps * s, inv_mass, cfg,
+                    )
+                )(keys, qs, pt_betas_c, pt_eps_scale_c)
+
+        one = jnp.asarray(1.0, dtype)
+
+        def pt_swap(key, qs, swap_idx):
+            """Even-odd replica exchange between adjacent rungs. Exact for
+            lp_beta = beta * lp (posterior.py:374): log alpha =
+            (beta_i - beta_j) * (lp(q_j) - lp(q_i)). Returns the swapped
+            states plus per-pair proposal/accept counts for diagnostics."""
+            lps = jax.vmap(
+                lambda q: tempered_logp_grad(q, one)[0]
+            )(qs)
+            lpr = lps.reshape(pt_R, pt_M)
+            qr = qs.reshape(pt_R, pt_M, dim)
+            parity = swap_idx % 2
+            keys = jax.random.split(key, pt_R - 1)
+            prop = jnp.zeros((pt_R - 1,), dtype)
+            accs = jnp.zeros((pt_R - 1,), dtype)
+            for i in range(pt_R - 1):
+                do = parity == (i % 2)
+                dlb = jnp.asarray(pt_b[i] - pt_b[i + 1], dtype)
+                log_alpha = dlb * (lpr[i + 1] - lpr[i])       # (M,)
+                u = jax.random.uniform(keys[i], (pt_M,), dtype)
+                acc = do & jnp.isfinite(log_alpha) & (
+                    jnp.log(u) < log_alpha
+                )
+                qi, qj = qr[i], qr[i + 1]
+                qr = qr.at[i].set(jnp.where(acc[:, None], qj, qi))
+                qr = qr.at[i + 1].set(jnp.where(acc[:, None], qi, qj))
+                li, lj = lpr[i], lpr[i + 1]
+                lpr = lpr.at[i].set(jnp.where(acc, lj, li))
+                lpr = lpr.at[i + 1].set(jnp.where(acc, li, lj))
+                prop = prop.at[i].add(
+                    jnp.where(do, jnp.asarray(float(pt_M), dtype), 0.0)
+                )
+                accs = accs.at[i].add(jnp.sum(acc.astype(dtype)))
+            return qr.reshape(C, dim), prop, accs
 
     def find_reasonable_step_size(q0_row, key, inv_mass, beta_temp):
         """Hoffman-Gelman Algorithm 4: double/halve eps until the one-leapfrog
@@ -669,14 +787,34 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
     def warmup_blk(carry, steps):
         return jax.lax.scan(warmup_step, carry, steps)[0]
 
-    def one_transition(carry, step):
-        qs, key, eps_final, inv_mass = carry
-        key, *chain_keys = jax.random.split(key, C + 1)
-        qs, infos = step_chains(
-            jnp.stack(chain_keys), qs, eps_final, inv_mass, temp_at(step)
-        )
-        maybe_progress("sample", step, eps_final, infos)
-        return (qs, key, eps_final, inv_mass), infos
+    if pt:
+        def one_transition(carry, step):
+            qs, key, eps_final, inv_mass, (prop, accs) = carry
+            key, kswap, *chain_keys = jax.random.split(key, C + 2)
+            qs, infos = step_chains_pt(
+                jnp.stack(chain_keys), qs, eps_final, inv_mass
+            )
+            maybe_progress("sample", step, eps_final, infos)
+            rel = step - config.num_burnin_steps
+            do_swap = (rel + 1) % config.pt_swap_every == 0
+            qs, dprop, daccs = jax.lax.cond(
+                do_swap,
+                lambda: pt_swap(kswap, qs, rel // config.pt_swap_every),
+                lambda: (qs, jnp.zeros((pt_R - 1,), dtype),
+                         jnp.zeros((pt_R - 1,), dtype)),
+            )
+            carry = (qs, key, eps_final, inv_mass,
+                     (prop + dprop, accs + daccs))
+            return carry, infos
+    else:
+        def one_transition(carry, step):
+            qs, key, eps_final, inv_mass = carry
+            key, *chain_keys = jax.random.split(key, C + 1)
+            qs, infos = step_chains(
+                jnp.stack(chain_keys), qs, eps_final, inv_mass, temp_at(step)
+            )
+            maybe_progress("sample", step, eps_final, infos)
+            return (qs, key, eps_final, inv_mass), infos
 
     if config.thin == 1:
         def draw_step(carry, draw_idx):
@@ -718,10 +856,21 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
 
     # --- warmup: blocks of steps, state carried across dispatches
     inv_mass0 = identity_mass(dim, config.dense_tail_size, dtype)
+    pt_stats0 = (
+        (jnp.zeros((pt_R - 1,), dtype), jnp.zeros((pt_R - 1,), dtype))
+        if pt else None
+    )
+
+    def make_scarry(qs, key, eps, inv_mass):
+        base = (qs, key, eps, inv_mass)
+        return base + (pt_stats0,) if pt else base
+
     if resume is not None and resume[0] == "sample":
         # warmup already completed in a previous process — skip it entirely
-        scarry = restore((q0, key, jnp.asarray(0.1, dtype), inv_mass0),
-                         resume[2])
+        scarry = restore(
+            make_scarry(q0, key, jnp.asarray(0.1, dtype), inv_mass0),
+            resume[2],
+        )
         sample_done = resume[1]
     else:
         welford0 = (
@@ -761,7 +910,7 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
                 _ckpt_save_state(ck, "warmup", start + size,
                                  wcarry, fingerprint)
         qs, key, da, _, inv_mass = wcarry
-        scarry = (qs, key, jnp.exp(da.log_step_avg), inv_mass)
+        scarry = make_scarry(qs, key, jnp.exp(da.log_step_avg), inv_mass)
         if prof:
             jax.block_until_ready(qs)
             timings["warmup_s"] = time.time() - t_warm0
@@ -867,7 +1016,11 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
         timings["sample_stage_s"] = pa["stage_s"]
         timings["staged_bytes"] = pa["staged_bytes"]
 
-    _, _, eps_final, inv_mass = scarry
+    eps_final, inv_mass = scarry[2], scarry[3]
+    pt_swap_accept = None
+    if pt:
+        prop, accs = scarry[4]
+        pt_swap_accept = accs / jnp.maximum(prop, 1.0)
     stats = ChainStats(
         step_size=eps_final,
         inv_mass=mass_diag(inv_mass),
@@ -876,6 +1029,7 @@ def _run_nuts_chains_impl(tempered_logp_grad, q0, key, config):
         divergences=infos["diverging"],
         depths=infos["depth"],
         tail_inv_mass=mass_tail_inv(inv_mass),
+        pt_swap_accept=pt_swap_accept,
         timings=timings,
     )
     return samples, stats
